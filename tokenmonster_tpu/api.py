@@ -1,0 +1,279 @@
+"""Drop-in user API mirroring the reference Python binding.
+
+The reference binding (python/tokenmonster.py) talks to a Go subprocess over
+pipes; here everything runs in-process: the host tokenizer (optionally the
+native C++ module) for small calls, and the TPU kernels for bulk throughput.
+
+Method names, argument conventions and return types follow the reference:
+``tokenize`` accepts str/bytes or a list thereof and returns numpy uint16/
+uint32 arrays; ``decode`` accepts ints/lists/numpy and returns ``str``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .core.tokenmeta import DOES_NOT_EXIST
+from .core.vocab import Vocab as _CoreVocab
+
+_local_directory = None
+
+
+def set_local_directory(path=None):
+    global _local_directory
+    if path:
+        os.makedirs(path, exist_ok=True)
+    _local_directory = path
+
+
+def disconnect():
+    """Compatibility no-op (there is no server subprocess)."""
+
+
+def load(path, multiprocess_safe: bool = False) -> "Vocab":
+    """Load a vocabulary from local file (.vocab) or YAML (.yaml)."""
+    return Vocab(path)
+
+
+def load_multiprocess_safe(path) -> "Vocab":
+    return Vocab(path)
+
+
+def new(yml) -> "Vocab":
+    """Create a new vocabulary from a YAML string (reference :58-105)."""
+    if isinstance(yml, str):
+        yml = yml.encode("utf-8")
+    v = Vocab.__new__(Vocab)
+    v._init_core(_CoreVocab.from_yaml(yml))
+    return v
+
+
+def _is_iterable(obj):
+    return isinstance(obj, (list, tuple, np.ndarray))
+
+
+class Vocab:
+    """Main user-facing vocabulary class (reference python/tokenmonster.py:107)."""
+
+    class DecoderInstance:
+        def __init__(self, parent: "Vocab"):
+            self._parent = parent
+            self._decoder = parent._core.new_decoder()
+
+        def decode(self, tokens):
+            if _is_iterable(tokens) and len(tokens) > 0 and _is_iterable(tokens[0]):
+                return [self.decode(t) for t in tokens]
+            if isinstance(tokens, (int, np.integer)):
+                tokens = [int(tokens)]
+            data = self._decoder.decode(np.asarray(tokens, dtype=np.uint32))
+            return data.decode("utf-8", errors="replace")
+
+        def flush(self) -> bytes:
+            return self._decoder.flush()
+
+    def __init__(self, path, multiprocess_safe: bool = False):
+        path = self._resolve(path)
+        if str(path).endswith((".yaml", ".yml")):
+            with open(path, "rb") as f:
+                core = _CoreVocab.from_yaml(f.read())
+        else:
+            core = _CoreVocab.load(path)
+        self._init_core(core)
+
+    def _init_core(self, core: _CoreVocab):
+        self._core = core
+        self.fname = None
+        self._refresh()
+
+    def _refresh(self):
+        core = self._core
+        self.vocab_size = core.vocab_size
+        self.charset_code = core.charset
+        self.capcode_level = core.using_capcode
+        self.normalization_code = core.normalizer.flag
+        self.encoding_length = 2 if len(core.reverse) <= 65536 else 4
+        self.unk = core.unk_token if core.unk_token != DOES_NOT_EXIST else None
+
+    @staticmethod
+    def _resolve(path):
+        if os.path.exists(path):
+            return path
+        if _local_directory is not None:
+            candidate = os.path.join(_local_directory, str(path))
+            if os.path.exists(candidate):
+                return candidate
+        raise FileNotFoundError(
+            f"{path}: prebuilt vocabulary downloads are unavailable offline; "
+            "provide a local .vocab or .yaml file")
+
+    # ----- introspection -----
+
+    def __len__(self):
+        return self._core.vocab_size
+
+    def capcode(self) -> int:
+        return self._core.using_capcode
+
+    def charset(self) -> str:
+        return {0: "None", 1: "UTF-8", 2: "UTF-16"}[self._core.charset]
+
+    def mode(self) -> str:
+        level = self._core.level
+        return {0: "unfiltered", 1: "clean", 2: "balanced", 3: "consistent",
+                4: "strict", 5: "custom"}.get(level, "unknown")
+
+    def normalization(self) -> str:
+        return self._core.normalization()
+
+    def unk_token_id(self):
+        return self.unk
+
+    def get_dictionary(self):
+        return self._core.tokens_detailed()
+
+    def id_to_token(self, token_id: int):
+        return self._core.id_to_token(int(token_id))
+
+    def id_to_token_decoded(self, token_id: int):
+        t = self._core.id_to_token(int(token_id))
+        return None if t is None else self._core.denormalize(t)
+
+    def token_to_id(self, token):
+        if isinstance(token, str):
+            token = token.encode("utf-8")
+        token = self._core.normalize(token)
+        tid, found = self._core.token_to_id(token)
+        return tid if found else None
+
+    # ----- tokenize / decode -----
+
+    def _ids_dtype(self):
+        return np.uint16 if self.encoding_length == 2 else np.uint32
+
+    def _tokenize_one(self, item) -> np.ndarray:
+        if isinstance(item, str):
+            item = item.encode("utf-8")
+        ids, _missing = self._core.tokenize(item)
+        return ids.astype(self._ids_dtype())
+
+    def tokenize(self, text):
+        if isinstance(text, (str, bytes)):
+            if len(text) == 0:
+                return None
+            return self._tokenize_one(text)
+        if _is_iterable(text):
+            return [self._tokenize_one(t) for t in text]
+        raise ValueError("Input to tokenize must be a string or a list of strings.")
+
+    def tokenize_count(self, text):
+        if isinstance(text, (str, bytes)):
+            n, _m = self._core.count(text.encode("utf-8") if isinstance(text, str) else text)
+            return n
+        if _is_iterable(text):
+            return [self.tokenize_count(t) for t in text]
+        raise ValueError("Input to tokenize_count must be a string or a list of strings.")
+
+    def decode(self, tokens):
+        if _is_iterable(tokens):
+            if len(tokens) == 0:
+                return None
+            if _is_iterable(tokens[0]):
+                return [self.decode(t) for t in tokens]
+        elif isinstance(tokens, (int, np.integer)):
+            tokens = [int(tokens)]
+        else:
+            raise ValueError("Input to decode must be an int, list of ints, "
+                             "list of lists, or numpy array.")
+        data = self._core.decode(np.asarray(tokens, dtype=np.uint32))
+        return data.decode("utf-8", errors="replace")
+
+    def decoder(self) -> "Vocab.DecoderInstance":
+        return Vocab.DecoderInstance(self)
+
+    def serialize_tokens(self, integer_list) -> bytes:
+        from .core.tokenizer import serialize_tokens
+        return serialize_tokens(np.asarray(integer_list, np.uint32),
+                                self.encoding_length)
+
+    def deserialize_tokens(self, binary_string: bytes) -> np.ndarray:
+        from .core.tokenizer import deserialize_tokens
+        return deserialize_tokens(binary_string, self.encoding_length).astype(
+            self._ids_dtype())
+
+    # ----- modification -----
+
+    def modify(self, add_special_tokens=None, add_regular_tokens=None,
+               delete_tokens=None, resize=None, change_unk=None,
+               reset_token_ids=False):
+        def to_bytes_list(x):
+            if x is None:
+                return []
+            if isinstance(x, (str, bytes)):
+                x = [x]
+            return [t.encode("utf-8") if isinstance(t, str) else bytes(t) for t in x]
+        if change_unk is True:
+            self._core.enable_unk_token()
+        elif change_unk is False:
+            self._core.disable_unk_token()
+        self._core.modify(add_tokens=to_bytes_list(add_regular_tokens),
+                          special_tokens=to_bytes_list(add_special_tokens),
+                          delete_tokens=to_bytes_list(delete_tokens),
+                          size=resize or 0, reset_token_ids=reset_token_ids)
+        self._refresh()
+        return self.vocab_size
+
+    def modify_from_yaml(self, yml, resize=0, reset_token_ids=False):
+        if isinstance(yml, str):
+            yml = yml.encode("utf-8")
+        self._core.modify_from_yaml(yml, resize, reset_token_ids)
+        self._refresh()
+        return self.vocab_size
+
+    def add_token(self, token):
+        return self.modify(add_regular_tokens=token)
+
+    def delete_token(self, token):
+        return self.modify(delete_tokens=token)
+
+    def delete_token_by_id(self, token_id):
+        self._core.delete_token_by_id(int(token_id))
+        self._refresh()
+        return self.vocab_size
+
+    def add_special_token(self, token):
+        return self.modify(add_special_tokens=token)
+
+    def resize(self, size, reset_token_ids=False):
+        self._core.modify(size=size, reset_token_ids=reset_token_ids)
+        self._refresh()
+        return self.vocab_size
+
+    def reset_token_ids(self):
+        self._core.reset_token_ids()
+        self._refresh()
+
+    def enable_unk_token(self):
+        self._core.enable_unk_token()
+        self._refresh()
+        return self.vocab_size
+
+    def disable_unk_token(self):
+        self._core.disable_unk_token()
+        self._refresh()
+        return self.vocab_size
+
+    # ----- persistence -----
+
+    def save(self, fname):
+        self._core.save(fname)
+        self.fname = fname
+
+    def export_yaml(self, order_by_score=False) -> bytes:
+        return self._core.export_yaml(order_by_score)
+
+    @property
+    def core(self) -> _CoreVocab:
+        """The underlying array-backed vocabulary (TPU kernels consume this)."""
+        return self._core
