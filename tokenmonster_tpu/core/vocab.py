@@ -432,9 +432,12 @@ class Vocab:
         enable_unk = False
         display_reserve = 0
         y = None
-        if yaml_data is not None and len(yaml_data) > 3:
-            from . import yamlio
+        from . import yamlio
+        if isinstance(yaml_data, yamlio.YamlVocab):
+            y = yaml_data
+        elif yaml_data is not None and len(yaml_data) > 3:
             y = yamlio.parse(yaml_data)
+        if y is not None:
             if y.charset in ("utf8", "utf-8"):
                 charset = 1
             elif y.charset in ("utf16", "utf-16"):
@@ -818,6 +821,11 @@ class Vocab:
         self.dictionary = dictionary
         if self.reserve == 0:
             self.reserve = display_reserve
+
+    def _generate_from_parsed_yaml(self, y, resize: int = 0,
+                                   reset_token_ids: bool = False):
+        """Build from a pre-parsed YamlVocab (bypasses YAML text parsing)."""
+        self._generate(yaml_data=y, resize=resize, reset_token_ids=reset_token_ids)
 
     # ---------- tokenize / decode entry points ----------
 
