@@ -1,0 +1,98 @@
+"""Phase 1 of TPU tokenization: longest-match tables for every position.
+
+Runs the dense reversed-key AC DFA (ops/automaton.py) over the text in
+lockstep chunk lanes.  Chunks carry a warm-up overlap of >= max key length
+bytes, which makes every in-chunk state exact — M/Mb tables need no
+reconciliation (unlike the phase-2 scan).
+
+Output packing: M[p] = (dict_index << 6) | match_length, 0 = no match.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .automaton import ALPHA, RESET
+
+# Warm-up must cover the longest key (40) — round up for alignment.
+OVERLAP = 64
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "n_lanes"))
+def _match_kernel(dfa, out, rev_padded, chunk: int, n_lanes: int):
+    """rev_padded: int32[(n_lanes * chunk) + OVERLAP] reversed text with
+    OVERLAP leading RESET sentinels and RESET tail padding."""
+    # lane l consumes rev_padded[l*chunk : l*chunk + OVERLAP + chunk]
+    starts = jnp.arange(n_lanes, dtype=jnp.int32) * chunk
+    t_steps = OVERLAP + chunk
+
+    def step(state, t):
+        c = rev_padded[starts + t]
+        new_state = jnp.take(dfa, state * ALPHA + c).astype(jnp.int32)
+        return new_state, jnp.take(out, new_state)
+
+    init = jnp.zeros(n_lanes, jnp.int32)
+    _, outs = jax.lax.scan(step, init, jnp.arange(t_steps, dtype=jnp.int32))
+    # outs: (T, L); drop warmup rows, transpose to (L, chunk), flatten
+    return outs[OVERLAP:].T.reshape(-1)
+
+
+def _bucket(n_lanes: int) -> int:
+    """Round lane count up to a power of two (bounds jit recompilation)."""
+    b = 1
+    while b < n_lanes:
+        b <<= 1
+    return b
+
+
+def compute_match_table(automaton, data: np.ndarray, chunk: int = 512,
+                        device_tables=None):
+    """Compute M[p] for all positions of ``data`` (uint8 array).
+
+    Returns uint32[N] packed matches. ``device_tables`` may hold a
+    pre-transferred (dfa, out) pair to avoid re-uploading per call.
+    """
+    n = len(data)
+    if n == 0:
+        return np.zeros(0, np.uint32)
+    if device_tables is not None:
+        dfa, out = device_tables
+    else:
+        dfa, out = jnp.asarray(automaton.dfa), jnp.asarray(automaton.out)
+    n_lanes = _bucket(-(-n // chunk))
+    rev = np.full(n_lanes * chunk + OVERLAP, RESET, np.int32)
+    rev[OVERLAP:OVERLAP + n] = np.asarray(data, np.uint8)[::-1]
+    out_rev = np.asarray(_match_kernel(dfa, out, jnp.asarray(rev), chunk, n_lanes))
+    return out_rev[:n][::-1].copy()
+
+
+def reference_match_table(vocab, data) -> np.ndarray:
+    """Host oracle: M[p] via the dictionary, for testing."""
+    out = np.zeros(len(data), np.uint32)
+    max_len = vocab.max_token_length
+    ls = vocab.dictionary.longest_substring
+    for p in range(len(data)):
+        idx, length, found = ls(data, p, min(len(data) - p, max_len))
+        if found:
+            out[p] = (idx << 6) | length
+    return out
+
+
+def reference_space_match_table(vocab, data) -> np.ndarray:
+    """Host oracle for Mb[p]: longest key match of " "+data[p:] (the lilbuf
+    probe, go/tokenmonster.go:1088-1091), keeping only matches of length >= 2
+    (a length-1 " " match can never pass the ``length1b > length1+1`` gate)."""
+    out = np.zeros(len(data), np.uint32)
+    max_len = vocab.max_token_length
+    data = bytes(data)
+    ls = vocab.dictionary.longest_substring
+    for p in range(len(data)):
+        probe = b" " + data[p:p + max_len - 1]
+        idx, length, found = ls(probe, 0, len(probe))
+        if found and length >= 2:
+            out[p] = (idx << 6) | length
+    return out
