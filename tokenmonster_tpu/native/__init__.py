@@ -1,0 +1,198 @@
+"""ctypes loader/builder for the native host runtime (tm_native.cpp).
+
+Compiled on first use with g++ -O3 and cached next to this package.
+Falls back silently (returns None) when no compiler is available so the
+pure-Python oracle paths keep working.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib = None
+_tables_set = False
+_tables_refs = []
+
+
+def _build_lib():
+    src = os.path.join(os.path.dirname(__file__), "tm_native.cpp")
+    out = os.path.join(os.path.dirname(__file__), "_build")
+    os.makedirs(out, exist_ok=True)
+    so = os.path.join(out, "tm_native.so")
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
+        cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+               "-o", so + ".tmp", src]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(so + ".tmp", so)
+    return so
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib if _lib != "unavailable" else None
+        try:
+            so = _build_lib()
+            lib = ctypes.CDLL(so)
+            lib.tm_vocab_new.restype = ctypes.c_void_p
+            lib.tm_vocab_new.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_uint32,
+                ctypes.c_uint32, ctypes.c_int]
+            lib.tm_vocab_free.argtypes = [ctypes.c_void_p]
+            lib.tm_tokenize.restype = ctypes.c_int64
+            lib.tm_tokenize.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib.tm_set_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                          ctypes.c_void_p]
+            for name in ("tm_capcode_encode", "tm_nocapcode_encode"):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            for name in ("tm_capcode_decode", "tm_nocapcode_decode"):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                               ctypes.c_void_p, ctypes.c_void_p]
+            _lib = lib
+        except Exception:
+            _lib = "unavailable"
+            return None
+        return _lib
+
+
+def ensure_tables(lib) -> bool:
+    """Upload the Unicode classification tables (once per process)."""
+    global _tables_set
+    if _tables_set:
+        return True
+    from ..utils import chartypes as ct
+    props = np.ascontiguousarray(ct.props_table())
+    lower = np.ascontiguousarray(ct.lower_table())
+    upper = np.ascontiguousarray(ct.upper_table())
+    _tables_refs.extend([props, lower, upper])  # keep alive
+    lib.tm_set_tables(props.ctypes.data, lower.ctypes.data, upper.ctypes.data)
+    _tables_set = True
+    return True
+
+
+class NativeVocab:
+    """Native tokenizer handle for a core Vocab."""
+
+    def __init__(self, vocab):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        n = len(vocab.tokens)
+        offs = np.zeros(n + 1, np.uint32)
+        for i, t in enumerate(vocab.tokens):
+            offs[i + 1] = offs[i] + len(t)
+        blob = np.frombuffer(b"".join(vocab.tokens), np.uint8) if n else \
+            np.zeros(0, np.uint8)
+        arrs = dict(
+            blob=np.ascontiguousarray(blob),
+            offs=np.ascontiguousarray(offs),
+            flag=np.ascontiguousarray(vocab.flag),
+            nwords=np.ascontiguousarray(vocab.nwords),
+            index1=np.ascontiguousarray(vocab.index1),
+            index2=np.ascontiguousarray(vocab.index2),
+            len1=np.ascontiguousarray(vocab.len1),
+            len2=np.ascontiguousarray(vocab.len2),
+            id=np.ascontiguousarray(vocab.id),
+            id1=np.ascontiguousarray(vocab.id1),
+            id2=np.ascontiguousarray(vocab.id2),
+            bb=np.ascontiguousarray(vocab.begin_byte),
+        )
+        self._keepalive = arrs
+        self._handle = lib.tm_vocab_new(
+            arrs["blob"].ctypes.data, arrs["offs"].ctypes.data, n,
+            arrs["flag"].ctypes.data, arrs["nwords"].ctypes.data,
+            arrs["index1"].ctypes.data, arrs["index2"].ctypes.data,
+            arrs["len1"].ctypes.data, arrs["len2"].ctypes.data,
+            arrs["id"].ctypes.data, arrs["id1"].ctypes.data,
+            arrs["id2"].ctypes.data, arrs["bb"].ctypes.data,
+            vocab.max_token_length, vocab.delete_token, vocab.unk_token,
+            vocab.charset)
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.tm_vocab_free(handle)
+            self._handle = None
+
+    def tokenize(self, data: bytes):
+        """Tokenize normalized bytes; returns (ids uint32 array, missing)."""
+        n = len(data)
+        if n == 0:
+            return np.zeros(0, np.uint32), 0
+        buf = np.frombuffer(bytes(data), np.uint8)
+        out = np.empty(n + 8, np.uint32)
+        missing = ctypes.c_int64(0)
+        count = self._lib.tm_tokenize(
+            self._handle, buf.ctypes.data, n, out.ctypes.data,
+            ctypes.byref(missing))
+        return out[:count].copy(), int(missing.value)
+
+
+def native_capcode_encode(data: bytes) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    ensure_tables(lib)
+    n = len(data)
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(2 * n + 16, np.uint8)
+    m = lib.tm_capcode_encode(src.ctypes.data, n, out.ctypes.data)
+    return out[:m].tobytes()
+
+
+def native_nocapcode_encode(data: bytes) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    ensure_tables(lib)
+    n = len(data)
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(2 * n + 16, np.uint8)
+    m = lib.tm_nocapcode_encode(src.ctypes.data, n, out.ctypes.data)
+    return out[:m].tobytes()
+
+
+def native_capcode_decode(data: bytes, state: np.ndarray) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    ensure_tables(lib)
+    n = len(data)
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(2 * n + 16, np.uint8)
+    m = lib.tm_capcode_decode(src.ctypes.data, n, out.ctypes.data,
+                              state.ctypes.data)
+    return out[:m].tobytes()
+
+
+def native_nocapcode_decode(data: bytes, state: np.ndarray) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    ensure_tables(lib)
+    n = len(data)
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(n + 16, np.uint8)
+    m = lib.tm_nocapcode_decode(src.ctypes.data, n, out.ctypes.data,
+                                state.ctypes.data)
+    return out[:m].tobytes()

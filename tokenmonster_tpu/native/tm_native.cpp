@@ -1,0 +1,704 @@
+// Native host runtime for tokenmonster_tpu: ungreedy tokenizer + capcode.
+//
+// Exact port of the reference hot loops for the host/serving path:
+//   - 6-branch ungreedy tokenize: go/tokenmonster.go:1017-1279
+//   - capcode encode/decode:      javascript/tokenmonster.js:900-1065
+// Unicode classification tables are supplied by Python (chartypes.py), so
+// this file needs no ICU.  Exposed as a C ABI consumed via ctypes.
+//
+// Build: g++ -O3 -fPIC -shared -o tm_native.so tm_native.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t DOES_NOT_EXIST = 16777215;
+
+// ---------------- dictionary ----------------
+
+struct Slot {
+  uint64_t hash8;     // first-8-bytes packed big-endian (key for len<=8)
+  uint32_t index;     // dictionary index + 1 (0 = empty)
+  uint32_t len;       // key length
+};
+
+struct Dict {
+  // open addressing, power-of-two slots, keyed by (len, bytes).
+  // Probing uses incremental prefix hashes (one pass over the window, O(1)
+  // per length) gated by per-first-two-bytes length masks — the role the
+  // length-bucketed blooms play in the reference's pansearch
+  // (tokenmonster-cpp/src/tokenmonster.cpp:491-877).
+  std::vector<Slot> slots;
+  std::vector<uint8_t> key_bytes;      // concatenated keys
+  std::vector<uint32_t> key_off;       // offsets per index
+  uint64_t mask = 0;
+  std::vector<uint64_t> len_mask2;     // [b0<<8|b1]: lengths >= 2 present
+  uint8_t has_len1[256] = {0};
+  int max_len = 0;
+
+  static inline uint64_t mix(uint64_t h, uint32_t len) {
+    h ^= (uint64_t)len * 0x9E3779B97F4A7C15ULL;
+    h ^= h >> 29;
+    h *= 0xBF58476D1CE4E5B9ULL;
+    h ^= h >> 32;
+    return h;
+  }
+
+  static uint64_t hash_bytes(const uint8_t* p, uint32_t len) {
+    uint64_t h = 1469598103934665603ULL;
+    for (uint32_t i = 0; i < len; i++) {
+      h = (h ^ p[i]) * 1099511628211ULL;
+    }
+    return mix(h, len);
+  }
+
+  void build(const uint8_t* bytes, const uint32_t* offs, uint32_t n) {
+    key_off.assign(offs, offs + n + 1);
+    key_bytes.assign(bytes, bytes + offs[n]);
+    len_mask2.assign(65536, 0);
+    uint64_t cap = 16;
+    while (cap < (uint64_t)n * 2) cap <<= 1;
+    slots.assign(cap, Slot{0, 0, 0});
+    mask = cap - 1;
+    for (uint32_t i = 0; i < n; i++) {
+      const uint8_t* p = bytes + offs[i];
+      uint32_t len = offs[i + 1] - offs[i];
+      if ((int)len > max_len) max_len = (int)len;
+      if (len == 1) {
+        has_len1[p[0]] = 1;
+      } else {
+        len_mask2[((uint32_t)p[0] << 8) | p[1]] |= 1ULL << len;
+      }
+      uint64_t h = hash_bytes(p, len);
+      uint64_t at = h & mask;
+      while (slots[at].index) at = (at + 1) & mask;
+      slots[at] = Slot{h, i + 1, len};
+    }
+  }
+
+  inline int32_t find_h(const uint8_t* p, uint32_t len, uint64_t h) const {
+    uint64_t at = h & mask;
+    while (true) {
+      const Slot& s = slots[at];
+      if (!s.index) return -1;
+      if (s.hash8 == h && s.len == len) {
+        uint32_t idx = s.index - 1;
+        if (std::memcmp(key_bytes.data() + key_off[idx], p, len) == 0)
+          return (int32_t)idx;
+      }
+      at = (at + 1) & mask;
+    }
+  }
+
+  inline int32_t find(const uint8_t* p, uint32_t len) const {
+    return find_h(p, len, hash_bytes(p, len));
+  }
+
+  // longest key that is a prefix of data[0..limit)
+  inline bool longest(const uint8_t* data, int limit, int32_t* index,
+                      int* length) const {
+    if (limit <= 0) return false;
+    uint64_t lm = 0;
+    if (limit >= 2) {
+      lm = len_mask2[((uint32_t)data[0] << 8) | data[1]];
+      int maxl = limit < max_len ? limit : max_len;
+      lm &= (maxl >= 63) ? ~0ULL : ((2ULL << maxl) - 1);
+    }
+    if (lm) {
+      int top = 63 - __builtin_clzll(lm);
+      // one incremental FNV pass up to the longest candidate length
+      uint64_t pre[41];
+      uint64_t h = 1469598103934665603ULL;
+      for (int i = 0; i < top; i++) {
+        h = (h ^ data[i]) * 1099511628211ULL;
+        pre[i + 1] = h;
+      }
+      do {
+        int l = 63 - __builtin_clzll(lm);
+        int32_t idx = find_h(data, (uint32_t)l, mix(pre[l], (uint32_t)l));
+        if (idx >= 0) {
+          *index = idx;
+          *length = l;
+          return true;
+        }
+        lm &= (1ULL << l) - 1;
+      } while (lm);
+    }
+    if (has_len1[data[0]]) {
+      int32_t idx = find(data, 1);
+      if (idx >= 0) {
+        *index = idx;
+        *length = 1;
+        return true;
+      }
+    }
+    return false;
+  }
+};
+
+// ---------------- vocab ----------------
+
+struct Vocab {
+  Dict dict;
+  std::vector<uint8_t> flag, nwords;
+  std::vector<uint32_t> index1, index2, id, id1, id2;
+  std::vector<int32_t> len1, len2;
+  uint8_t begin_byte[256];
+  int max_token_length = 0;
+  uint32_t delete_token = DOES_NOT_EXIST;
+  uint32_t unk_token = DOES_NOT_EXIST;
+  int charset = 1;
+};
+
+inline int branch_score(int branch_len, int ff, int nw_adj, int sf, int snw,
+                        int nb, int is_b, int greedy_len, int is_alt) {
+  // go/tokenmonster.go:1075-1084 (exact integer formula)
+  int nw1 = nw_adj - 1;
+  if (nw1 < 0) nw1 = 0;
+  int nw2 = snw - 1;
+  if (nw2 < 0) nw2 = 0;
+  int base = branch_len + (ff >> 7) + (sf >> 7) + nw1 + nw2 +
+             (is_b ? 0 : ((sf >> 2) & 1)) + ((nb >> 2) & 1) +
+             (nw_adj + snw + (nb >> 3)) * 100;
+  int ded = (is_b ? (ff & 1) : (ff & 1 & (sf >> 1))) * 103 +
+            ((ff >> 3) & 1 & (sf >> 4)) * 100 + (sf & 1 & nb) * 3 +
+            (is_b ? 1 : 0);
+  if (is_alt) {
+    if (branch_len < greedy_len) ded += 100;
+    if (branch_len == greedy_len) ded += 10000;
+  }
+  return base - ded;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* tm_vocab_new(const uint8_t* key_bytes, const uint32_t* key_offs,
+                   uint32_t n_info, const uint8_t* flag, const uint8_t* nwords,
+                   const uint32_t* index1, const uint32_t* index2,
+                   const int32_t* len1, const int32_t* len2,
+                   const uint32_t* id, const uint32_t* id1, const uint32_t* id2,
+                   const uint8_t* begin_byte, int max_token_length,
+                   uint32_t delete_token, uint32_t unk_token, int charset) {
+  Vocab* v = new Vocab();
+  v->dict.build(key_bytes, key_offs, n_info);
+  v->flag.assign(flag, flag + n_info);
+  v->nwords.assign(nwords, nwords + n_info);
+  v->index1.assign(index1, index1 + n_info);
+  v->index2.assign(index2, index2 + n_info);
+  v->len1.assign(len1, len1 + n_info);
+  v->len2.assign(len2, len2 + n_info);
+  v->id.assign(id, id + n_info);
+  v->id1.assign(id1, id1 + n_info);
+  v->id2.assign(id2, id2 + n_info);
+  std::memcpy(v->begin_byte, begin_byte, 256);
+  v->max_token_length = max_token_length;
+  v->delete_token = delete_token;
+  v->unk_token = unk_token;
+  v->charset = charset;
+  return v;
+}
+
+void tm_vocab_free(void* vp) { delete (Vocab*)vp; }
+
+// Tokenize `data[0..n)` (already normalized+capcoded, NOT including the
+// lookahead byte).  Writes ids into out (capacity >= n+8).  Returns the
+// number of ids written; *missing_out = missing byte count.
+int64_t tm_tokenize(void* vp, const uint8_t* data_in, int64_t n,
+                    uint32_t* out, int64_t* missing_out) {
+  Vocab* v = (Vocab*)vp;
+  const Dict& D = v->dict;
+  int64_t n_out = 0, missing = 0;
+  if (n <= 0 || v->max_token_length == 0) {
+    *missing_out = 0;
+    return 0;
+  }
+  // +1 lookahead byte (go :1039-1046)
+  std::vector<uint8_t> buf((size_t)n + 1, 0);
+  std::memcpy(buf.data(), data_in, (size_t)n);
+  const uint8_t* data = buf.data();
+
+  const int lil_off = (v->charset == 2) ? 2 : 1;
+  const int max_len = v->max_token_length;
+  const int max_len_ws = max_len - lil_off;
+  uint8_t lilbuf[48] = {0};
+  lilbuf[0] = 32;
+  const bool has_delete = v->delete_token != DOES_NOT_EXIST;
+  const bool has_unk = v->unk_token != DOES_NOT_EXIST;
+
+  int64_t i = 0;
+  int fd = 0;
+  int32_t index = 0;
+  int length = 0;
+
+  while (i < n) {
+    int lim = (int)((n - i) < max_len ? (n - i) : max_len);
+    if (!D.longest(data + i, lim, &index, &length)) {
+      if (has_unk) out[n_out++] = v->unk_token;
+      i++;
+      missing++;
+      fd = 0;
+      continue;
+    }
+    while (true) {  // checkpoint
+      int of = v->flag[index];
+      int64_t i1 = i + length;
+      if (i1 < n && ((of & 32) == 0 || v->begin_byte[data[i1]] != 12)) {
+        int s1 = -1000000, s2 = -1000000, s3 = -1000000;
+        int s1b = -1000000, s2b = -1000000, s3b = -1000000;
+        int32_t iA = 0, iAb = 0, iB = 0, iBb = 0, iC = 0, iCb = 0;
+        int lA = 0, lAb = 0, lB = 0, lBb = 0, lC = 0, lCb = 0;
+        int nw_adj = (int)v->nwords[index] - fd;
+
+        int limA = (int)((n - i1) < max_len ? (n - i1) : max_len);
+        bool fA = D.longest(data + i1, limA, &iA, &lA);
+        if (fA) {
+          int sf = v->flag[iA], snw = v->nwords[iA];
+          int nb = v->begin_byte[data[i1 + lA]];
+          s1 = branch_score(length + lA, of, nw_adj, sf, snw, nb, 0, length, 0);
+          if (has_delete && (sf & 2) && nb == 1 && snw == 0) {
+            int l1b = (int)((n - i1) < max_len_ws ? (n - i1) : max_len_ws);
+            std::memcpy(lilbuf + lil_off, data + i1, (size_t)l1b);
+            int ml;
+            if (D.longest(lilbuf, l1b + lil_off, &iAb, &ml) && ml > lA + 1) {
+              lAb = ml - lil_off;
+              int sf2 = v->flag[iAb], snw2 = v->nwords[iAb];
+              int nb2 = v->begin_byte[data[i1 + lAb]];
+              s1b = branch_score(length + lAb, of, nw_adj, sf2, snw2, nb2, 1,
+                                 length, 0);
+            }
+          }
+        }
+        if (v->index1[index] != DOES_NOT_EXIST) {
+          int32_t a1 = (int32_t)v->index1[index];
+          int al1 = v->len1[index];
+          int64_t i2 = i + al1 - fd;
+          int limB = (int)((n - i2) < max_len ? (n - i2) : max_len);
+          bool fB = D.longest(data + i2, limB, &iB, &lB);
+          if (fB) {
+            int ff = v->flag[a1];
+            int fnw = (int)v->nwords[a1] - fd;
+            int sf = v->flag[iB], snw = v->nwords[iB];
+            int nb = v->begin_byte[data[i2 + lB]];
+            int bl = al1 + lB - fd;
+            s2 = branch_score(bl, ff, fnw, sf, snw, nb, 0, length, 1);
+            if (has_delete && (sf & 2) && nb == 1 && snw == 0) {
+              int l2b = (int)((n - i2) < max_len_ws ? (n - i2) : max_len_ws);
+              std::memcpy(lilbuf + lil_off, data + i2, (size_t)l2b);
+              int ml;
+              if (D.longest(lilbuf, l2b + lil_off, &iBb, &ml) && ml > lB + 1) {
+                lBb = ml - lil_off;
+                int sf2 = v->flag[iBb], snw2 = v->nwords[iBb];
+                int blb = al1 + lBb - fd;
+                int nb2 = v->begin_byte[data[i2 + lBb]];
+                s2b = branch_score(blb, ff, fnw, sf2, snw2, nb2, 1, length, 1);
+              }
+            }
+          }
+          if (v->index2[index] != DOES_NOT_EXIST) {
+            int32_t a2 = (int32_t)v->index2[index];
+            int al2 = v->len2[index];
+            int64_t i3 = i + al2 - fd;
+            int limC = (int)((n - i3) < max_len ? (n - i3) : max_len);
+            bool fC = D.longest(data + i3, limC, &iC, &lC);
+            if (fC) {
+              int ff = v->flag[a2];
+              int fnw = (int)v->nwords[a2] - fd;
+              int sf = v->flag[iC], snw = v->nwords[iC];
+              int nb = v->begin_byte[data[i3 + lC]];
+              int bl = al2 + lC - fd;
+              s3 = branch_score(bl, ff, fnw, sf, snw, nb, 0, length, 1);
+              if (has_delete && (sf & 2) && nb == 1 && snw == 0) {
+                int l3b = (int)((n - i3) < max_len_ws ? (n - i3) : max_len_ws);
+                std::memcpy(lilbuf + lil_off, data + i3, (size_t)l3b);
+                int ml;
+                if (D.longest(lilbuf, l3b + lil_off, &iCb, &ml) && ml > lC + 1) {
+                  lCb = ml - lil_off;
+                  int sf2 = v->flag[iCb], snw2 = v->nwords[iCb];
+                  int blb = al2 + lCb - fd;
+                  int nb2 = v->begin_byte[data[i3 + lCb]];
+                  s3b = branch_score(blb, ff, fnw, sf2, snw2, nb2, 1, length, 1);
+                }
+              }
+            }
+          }
+        }
+        int mx = s1;
+        if (s2 > mx) mx = s2;
+        if (s3 > mx) mx = s3;
+        if (s1b > mx) mx = s1b;
+        if (s2b > mx) mx = s2b;
+        if (s3b > mx) mx = s3b;
+        if (mx == -1000000) {
+          // fall through to skip path
+        } else if (mx == s1) {
+          out[n_out++] = v->id[index];
+          i += length;
+          length = lA;
+          index = iA;
+          fd = 0;
+          continue;
+        } else if (mx == s2) {
+          out[n_out++] = v->id1[index];
+          i += v->len1[index] - fd;
+          length = lB;
+          index = iB;
+          fd = 0;
+          continue;
+        } else if (mx == s3) {
+          out[n_out++] = v->id2[index];
+          i += v->len2[index] - fd;
+          length = lC;
+          index = iC;
+          fd = 0;
+          continue;
+        } else if (mx == s1b) {
+          out[n_out++] = v->id[index];
+          out[n_out++] = v->delete_token;
+          i += length;
+          length = lAb;
+          index = iAb;
+          fd = 1;
+          continue;
+        } else if (mx == s2b) {
+          out[n_out++] = v->id1[index];
+          out[n_out++] = v->delete_token;
+          i += v->len1[index] - fd;
+          length = lBb;
+          index = iBb;
+          fd = 1;
+          continue;
+        } else if (mx == s3b) {
+          out[n_out++] = v->id2[index];
+          out[n_out++] = v->delete_token;
+          i += v->len2[index] - fd;
+          length = lCb;
+          index = iCb;
+          fd = 1;
+          continue;
+        }
+      }
+      // skip path
+      out[n_out++] = v->id[index];
+      i += length;
+      fd = 0;
+      break;
+    }
+  }
+  *missing_out = missing;
+  return n_out;
+}
+
+// ---------------- capcode (tables supplied by Python) ----------------
+
+namespace {
+const uint8_t* g_props = nullptr;     // chartypes bit flags per codepoint
+const uint32_t* g_lower = nullptr;
+const uint32_t* g_upper = nullptr;
+constexpr uint8_t P_LETTER = 1, P_UPPER = 2, P_LOWER = 4, P_NUMBER = 8,
+                  P_MODIFIER = 32;
+
+inline bool pl_letter(uint32_t cp) { return g_props[cp] & P_LETTER; }
+inline bool pl_upper(uint32_t cp) { return g_props[cp] & P_UPPER; }
+inline bool pl_lower(uint32_t cp) { return g_props[cp] & P_LOWER; }
+inline bool pl_number(uint32_t cp) { return g_props[cp] & P_NUMBER; }
+inline bool pl_mod(uint32_t cp) { return g_props[cp] & P_MODIFIER; }
+
+// decode one UTF-8 rune; invalid => (cp=byte, len=1) passthrough sentinel
+inline uint32_t dec(const uint8_t* p, int64_t rem, int* len) {
+  uint8_t b0 = p[0];
+  if (b0 < 0x80) { *len = 1; return b0; }
+  if (b0 >= 0xC2 && b0 < 0xE0 && rem >= 2 && (p[1] & 0xC0) == 0x80) {
+    *len = 2;
+    return ((b0 & 0x1F) << 6) | (p[1] & 0x3F);
+  }
+  if (b0 >= 0xE0 && b0 < 0xF0 && rem >= 3 && (p[1] & 0xC0) == 0x80 &&
+      (p[2] & 0xC0) == 0x80 && !(b0 == 0xE0 && p[1] < 0xA0) &&
+      !(b0 == 0xED && p[1] >= 0xA0)) {
+    *len = 3;
+    return ((b0 & 0x0F) << 12) | ((p[1] & 0x3F) << 6) | (p[2] & 0x3F);
+  }
+  if (b0 >= 0xF0 && b0 < 0xF5 && rem >= 4 && (p[1] & 0xC0) == 0x80 &&
+      (p[2] & 0xC0) == 0x80 && (p[3] & 0xC0) == 0x80 &&
+      !(b0 == 0xF0 && p[1] < 0x90) && !(b0 == 0xF4 && p[1] >= 0x90)) {
+    *len = 4;
+    return ((b0 & 0x07) << 18) | ((p[1] & 0x3F) << 12) | ((p[2] & 0x3F) << 6) |
+           (p[3] & 0x3F);
+  }
+  *len = 1;
+  return 0x110000 + b0;  // invalid-byte sentinel (passes through unchanged)
+}
+
+inline int enc(uint32_t cp, uint8_t* o) {
+  if (cp >= 0x110000) { o[0] = (uint8_t)(cp - 0x110000); return 1; }
+  if (cp < 0x80) { o[0] = (uint8_t)cp; return 1; }
+  if (cp < 0x800) {
+    o[0] = 0xC0 | (cp >> 6);
+    o[1] = 0x80 | (cp & 0x3F);
+    return 2;
+  }
+  if (cp < 0x10000) {
+    o[0] = 0xE0 | (cp >> 12);
+    o[1] = 0x80 | ((cp >> 6) & 0x3F);
+    o[2] = 0x80 | (cp & 0x3F);
+    return 3;
+  }
+  o[0] = 0xF0 | (cp >> 18);
+  o[1] = 0x80 | ((cp >> 12) & 0x3F);
+  o[2] = 0x80 | ((cp >> 6) & 0x3F);
+  o[3] = 0x80 | (cp & 0x3F);
+  return 4;
+}
+
+inline bool cls_valid(uint32_t cp) { return cp < 0x110000; }
+inline bool c_letter(uint32_t cp) { return cls_valid(cp) && pl_letter(cp); }
+inline bool c_upper(uint32_t cp) { return cls_valid(cp) && pl_upper(cp); }
+inline bool c_lower(uint32_t cp) { return cls_valid(cp) && pl_lower(cp); }
+inline bool c_number(uint32_t cp) { return cls_valid(cp) && pl_number(cp); }
+inline bool c_mod(uint32_t cp) { return cls_valid(cp) && pl_mod(cp); }
+inline uint32_t c_tolower(uint32_t cp) {
+  return cls_valid(cp) ? g_lower[cp] : cp;
+}
+inline uint32_t c_toupper(uint32_t cp) {
+  return cls_valid(cp) ? g_upper[cp] : cp;
+}
+
+constexpr uint32_t APOS = '\'';
+constexpr uint32_t APOS2 = 0x2019;  // ’
+
+}  // namespace
+
+void tm_set_tables(const uint8_t* props, const uint32_t* lower,
+                   const uint32_t* upper) {
+  g_props = props;
+  g_lower = lower;
+  g_upper = upper;
+}
+
+// capcode level-2 encode over UTF-8 bytes.  out capacity must be >=
+// 2*n + 16 bytes.  Returns output length.
+// Port of javascript/tokenmonster.js:900-1005 at codepoint granularity:
+// the retro-fixup loop operates on a codepoint buffer.
+int64_t tm_capcode_encode(const uint8_t* in, int64_t n, uint8_t* out) {
+  std::vector<uint32_t> buf;
+  buf.reserve((size_t)n + (size_t)n / 2 + 8);
+  int64_t goback_pos = 0, word_token_pos = 0;
+  uint32_t rlast = '.', rlast2 = '.';
+  bool in_word = false, multi_letter = false;
+  auto word_sep = [&](uint32_t r) {
+    return !(c_letter(r) || r == APOS || r == APOS2 || c_mod(r));
+  };
+  for (int64_t i = 0; i < n;) {
+    int l;
+    uint32_t r = dec(in + i, n - i, &l);
+    i += l;
+    if (in_word) {
+      if (c_upper(r)) {
+        if (word_sep(rlast)) {
+          buf.push_back('D');
+          buf.push_back(' ');
+        }
+        multi_letter = true;
+        buf.push_back(c_tolower(r));
+      } else {
+        if (c_lower(r)) {
+          in_word = false;
+          buf[(size_t)word_token_pos] = 'C';
+          if (multi_letter) {
+            int64_t i2 = goback_pos;
+            while (i2 < (int64_t)buf.size()) {
+              if (buf[(size_t)i2] == 'D' && i2 + 1 < (int64_t)buf.size() &&
+                  buf[(size_t)i2 + 1] == ' ') {
+                if (i2 + 2 < (int64_t)buf.size() && c_lower(buf[(size_t)i2 + 2])) {
+                  buf.insert(buf.begin() + i2 + 2, ' ');
+                  buf[(size_t)i2] = 'D';
+                  buf[(size_t)i2 + 1] = 'C';
+                  i2 += 1;
+                }
+                i2 += 3;
+              } else {
+                if (c_lower(buf[(size_t)i2])) {
+                  buf.insert(buf.begin() + i2, {'D', 'C', ' '});
+                  i2 += 4;
+                } else {
+                  i2 += 1;
+                }
+              }
+            }
+          }
+          if (word_sep(rlast)) {
+            buf.push_back('D');
+            buf.push_back(' ');
+          }
+        } else {
+          if (c_number(r)) {
+            if (!c_number(rlast)) {
+              buf.push_back('D');
+              buf.push_back(' ');
+            }
+          } else if (!(r == APOS || r == APOS2 || c_mod(r))) {
+            in_word = false;
+          }
+        }
+        buf.push_back(r);
+      }
+    } else {
+      if (c_lower(r)) {
+        if (!(rlast == ' ' || c_letter(rlast) ||
+              (c_letter(rlast2) && (rlast == APOS || rlast == APOS2)) ||
+              c_mod(rlast))) {
+          buf.push_back('D');
+          buf.push_back(' ');
+        }
+        buf.push_back(r);
+      } else if (c_upper(r)) {
+        if (rlast == ' ') {
+          word_token_pos = (int64_t)buf.size() - 1;
+          buf[(size_t)word_token_pos] = 'W';
+          buf.push_back(' ');
+        } else {
+          buf.push_back('D');
+          word_token_pos = (int64_t)buf.size();
+          buf.push_back('W');
+          buf.push_back(' ');
+        }
+        buf.push_back(c_tolower(r));
+        goback_pos = (int64_t)buf.size();
+        multi_letter = false;
+        in_word = true;
+      } else if (c_number(r)) {
+        if (!(rlast == ' ' || c_number(rlast))) {
+          buf.push_back('D');
+          buf.push_back(' ');
+        }
+        buf.push_back(r);
+      } else {
+        buf.push_back(r);
+      }
+    }
+    rlast2 = rlast;
+    rlast = r;
+  }
+  int64_t pos = 0;
+  for (uint32_t cp : buf) pos += enc(cp, out + pos);
+  return pos;
+}
+
+// capcode level-1 encode (0x7F delete token), no case transform.
+int64_t tm_nocapcode_encode(const uint8_t* in, int64_t n, uint8_t* out) {
+  int64_t pos = 0;
+  uint32_t rlast = '.', rlast2 = '.';
+  for (int64_t i = 0; i < n;) {
+    int l;
+    uint32_t r = dec(in + i, n - i, &l);
+    if (c_letter(r)) {
+      if (!(rlast == ' ' || c_letter(rlast) ||
+            (c_letter(rlast2) && (rlast == APOS || rlast == APOS2)) ||
+            c_mod(rlast))) {
+        out[pos++] = 0x7F;
+        out[pos++] = ' ';
+      }
+    } else if (c_number(r)) {
+      if (!(rlast == ' ' || c_number(rlast))) {
+        out[pos++] = 0x7F;
+        out[pos++] = ' ';
+      }
+    }
+    std::memcpy(out + pos, in + i, (size_t)l);
+    pos += l;
+    i += l;
+    rlast2 = rlast;
+    rlast = r;
+  }
+  return pos;
+}
+
+// streaming capcode decode; state: [in_word, in_char, del, ignore] bytes
+int64_t tm_capcode_decode(const uint8_t* in, int64_t n, uint8_t* out,
+                          uint8_t* state) {
+  bool in_word = state[0], in_char = state[1], del = state[2],
+       ignore = state[3];
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n;) {
+    int l;
+    uint32_t r = dec(in + i, n - i, &l);
+    i += l;
+    if (r == 'C') {
+      in_char = true;
+      in_word = false;
+      continue;
+    }
+    if (r == 'W') {
+      in_word = true;
+      in_char = false;
+      ignore = true;
+      continue;
+    }
+    if (r == 'D') {
+      del = true;
+      continue;
+    }
+    if (r == ' ') {
+      if (del) {
+        del = false;
+      } else {
+        out[pos++] = ' ';
+        if (!ignore) in_word = false;
+      }
+    } else {
+      if (del) {
+        del = false;
+      } else if (in_char) {
+        in_char = false;
+        pos += enc(c_toupper(r), out + pos);
+      } else if (in_word) {
+        if (c_lower(r) || c_upper(r)) {
+          pos += enc(c_toupper(r), out + pos);
+        } else {
+          pos += enc(r, out + pos);
+          if (!(c_number(r) || r == APOS || r == APOS2 || c_mod(r)))
+            in_word = false;
+        }
+      } else {
+        pos += enc(r, out + pos);
+      }
+    }
+    ignore = false;
+  }
+  state[0] = in_word;
+  state[1] = in_char;
+  state[2] = del;
+  state[3] = ignore;
+  return pos;
+}
+
+int64_t tm_nocapcode_decode(const uint8_t* in, int64_t n, uint8_t* out,
+                            uint8_t* state) {
+  bool del = state[2];
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n;) {
+    int l;
+    uint32_t r = dec(in + i, n - i, &l);
+    if (r == 0x7F) {
+      del = true;
+      i += l;
+      continue;
+    }
+    if (del) {
+      del = false;
+      i += l;
+      continue;
+    }
+    std::memcpy(out + pos, in + i, (size_t)l);
+    pos += l;
+    i += l;
+  }
+  state[2] = del;
+  return pos;
+}
+
+}  // extern "C"
