@@ -22,9 +22,9 @@ from .automaton import ALPHA, RESET
 OVERLAP = 64
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "n_lanes"))
-def _match_kernel(dfa, out, rev_padded, chunk: int, n_lanes: int):
-    """rev_padded: int32[(n_lanes * chunk) + OVERLAP] reversed text with
+def match_lanes(dfa, out, rev_padded, chunk: int, n_lanes: int):
+    """Pure function (composable under jit/shard_map): run the DFA over all
+    lanes.  rev_padded: int32[(n_lanes * chunk) + OVERLAP] reversed text with
     OVERLAP leading RESET sentinels and RESET tail padding."""
     # lane l consumes rev_padded[l*chunk : l*chunk + OVERLAP + chunk]
     starts = jnp.arange(n_lanes, dtype=jnp.int32) * chunk
@@ -39,6 +39,36 @@ def _match_kernel(dfa, out, rev_padded, chunk: int, n_lanes: int):
     _, outs = jax.lax.scan(step, init, jnp.arange(t_steps, dtype=jnp.int32))
     # outs: (T, L); drop warmup rows, transpose to (L, chunk), flatten
     return outs[OVERLAP:].T.reshape(-1)
+
+
+_match_kernel = jax.jit(match_lanes, static_argnames=("chunk", "n_lanes"))
+
+
+def match_strips(dfa, out, text2d):
+    """Strip-local matching: text2d (L, chunk) forward-order strips; returns
+    packed matches (L, chunk) where no match crosses a strip boundary
+    (automaton state resets at every strip end — used by the trainer, whose
+    strips are independent segments like trainvocab.go:1668-1695)."""
+    L, chunk = text2d.shape
+    revd = jnp.flip(text2d.astype(jnp.int32), axis=1)  # (L, T)
+
+    def step(state, t):
+        c = revd[:, t]
+        new_state = jnp.take(dfa, state * ALPHA + c).astype(jnp.int32)
+        return new_state, jnp.take(out, new_state)
+
+    init = jnp.zeros(L, jnp.int32)
+    _, outs = jax.lax.scan(step, init, jnp.arange(chunk, dtype=jnp.int32))
+    return jnp.flip(outs.T, axis=1)  # (L, chunk) forward order
+
+
+def reverse_for_match(data, n: int, chunk: int, n_lanes: int):
+    """Build the reversed+sentinel-padded input for match_lanes (jnp ops,
+    composable under jit): data is uint8[>=n]."""
+    total = n_lanes * chunk
+    rev = jnp.full(total + OVERLAP, RESET, jnp.int32)
+    body = jnp.flip(data[:n].astype(jnp.int32))
+    return jax.lax.dynamic_update_slice(rev, body, (OVERLAP,))
 
 
 def _bucket(n_lanes: int) -> int:

@@ -92,20 +92,22 @@ def _max0(x):
     return jnp.maximum(x, 0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("chunk", "n_lanes", "has_delete", "has_unk",
-                     "delete_token", "unk_token"))
-def _scan_kernel(m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
-                 n, chunk: int, n_lanes: int,
-                 has_delete: bool, has_unk: bool,
-                 delete_token: int, unk_token: int):
-    """Run the automaton on every lane.  Returns (rec, tok) of shape
-    (T, L): packed step records and primary emitted token ids."""
+def scan_lanes(m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
+               n, chunk: int, n_lanes: int,
+               has_delete: bool, has_unk: bool,
+               delete_token: int, unk_token: int,
+               overlap: int = OVERLAP_SCAN, strip_mode: bool = False):
+    """Pure function (composable under jit/shard_map): run the automaton on
+    every lane.  Returns (rec, tok) of shape (T, L): packed step records and
+    primary emitted token ids.  With strip_mode (trainer), every lane is an
+    independent strip: it stops exactly at its chunk boundary and the
+    lookahead evaluation window ends there too (overlap should be 0 and the
+    match tables strip-local; see parallel/score.py)."""
     L = n_lanes
-    T = chunk + OVERLAP_SCAN
+    T = chunk + overlap
     starts = jnp.arange(L, dtype=jnp.int32) * chunk
-    stops = jnp.minimum(starts + chunk + OVERLAP_SCAN, n)
+    stops = jnp.minimum(starts + chunk + overlap, n)
+    eval_end = stops if strip_mode else n
 
     DNE = jnp.uint32(DOES_NOT_EXIST)
 
@@ -162,7 +164,7 @@ def _scan_kernel(m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
         oids = jnp.take(ids3, cur_idx, axis=0)  # (L,3) id,id1,id2
 
         i1 = safe_pos + cur_len
-        do_eval = found & (i1 < n) & (((of & 32) == 0) | (get_bb(i1) != 12))
+        do_eval = found & (i1 < eval_end) & (((of & 32) == 0) | (get_bb(i1) != 12))
         nw_adj = onw - fd
 
         # ---- branch 1 (keep greedy) ----
@@ -299,14 +301,64 @@ def _scan_kernel(m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
     return recs, toks
 
 
+_scan_kernel = jax.jit(
+    scan_lanes,
+    static_argnames=("chunk", "n_lanes", "has_delete", "has_unk",
+                     "delete_token", "unk_token", "overlap", "strip_mode"))
+
+
 class TpuTokenizer:
-    """End-to-end TPU tokenizer for a vocabulary: match + scan + host stitch."""
+    """End-to-end TPU tokenizer for a vocabulary: one fused device dispatch
+    (match tables + ungreedy scan) followed by the host stitcher."""
 
     def __init__(self, vocab, chunk: int = 2048):
         self.vocab = vocab
         self.chunk = chunk
         self.dv = DeviceVocab.build(vocab)
-        self._bb_byte = vocab.begin_byte.astype(np.int32)
+        self._bb_byte = jnp.asarray(vocab.begin_byte.astype(np.int32))
+        self._fused = {}
+
+    def _fused_fn(self, n_lanes: int):
+        fn = self._fused.get(n_lanes)
+        if fn is not None:
+            return fn
+        from .match import OVERLAP, RESET, match_lanes
+        chunk = self.chunk
+        dv = self.dv
+        has_delete = dv.has_delete and dv.space_dfa is not None
+        match_chunk = 512
+        total = n_lanes * chunk
+
+        def device_tokenize(text, n, dfa, dout, sdfa, sout, bb_byte,
+                            p1, i1t, i2t, ids3):
+            # phase 1 (shared lane layout for both automatons)
+            m_lanes = total // match_chunk
+            rev = jnp.full(total + OVERLAP, RESET, jnp.int32)
+            body = jnp.flip(text.astype(jnp.int32))
+            # positions >= n are padding: map to RESET
+            posr = total - 1 - jnp.arange(total, dtype=jnp.int32)
+            body = jnp.where(posr < n, body, RESET)
+            rev = jax.lax.dynamic_update_slice(rev, body, (OVERLAP,))
+            pad = jnp.zeros(64, jnp.uint32)
+            m = jnp.flip(match_lanes(dfa, dout, rev, match_chunk, m_lanes))
+            m_tab = jnp.concatenate([m, pad])
+            if has_delete:
+                mb = jnp.flip(match_lanes(sdfa, sout, rev, match_chunk, m_lanes))
+                mb_tab = jnp.concatenate([mb, pad])
+            else:
+                mb_tab = m_tab
+            bb = jnp.concatenate([
+                jnp.take(bb_byte, text.astype(jnp.int32)),
+                jnp.full(64, bb_byte[0], jnp.int32)])
+            return scan_lanes(
+                m_tab, mb_tab, bb, p1, i1t, i2t, ids3,
+                n, chunk, n_lanes, has_delete,
+                dv.has_unk, dv.delete_token & 0xFFFFFF,
+                dv.unk_token & 0xFFFFFF)
+
+        fn = jax.jit(device_tokenize)
+        self._fused[n_lanes] = fn
+        return fn
 
     def tokenize(self, data: bytes):
         """Tokenize normalized+capcoded bytes; returns (ids u32, missing)."""
@@ -318,29 +370,15 @@ class TpuTokenizer:
         chunk = self.chunk
         from .match import _bucket
         n_lanes = _bucket(-(-n // chunk))
-
-        size = n_lanes * chunk + 64  # bucketed shape -> stable jit cache
-        m_np = np.zeros(size, np.uint32)
-        m_np[:n] = compute_match_table(
-            None, arr, chunk=512,
-            device_tables=(self.dv.main_dfa, self.dv.main_out))
-        mb_np = np.zeros(size, np.uint32)
-        if self.dv.has_delete and self.dv.space_dfa is not None:
-            mb_np[:n] = compute_match_table(
-                None, arr, chunk=512,
-                device_tables=(self.dv.space_dfa, self.dv.space_out))
-
-        data_padded = np.zeros(size, np.uint8)
-        data_padded[:n] = arr
-        bb = self._bb_byte[data_padded]
-
-        recs, toks = _scan_kernel(
-            jnp.asarray(m_np), jnp.asarray(mb_np), jnp.asarray(bb),
-            self.dv.p1, self.dv.index1, self.dv.index2, self.dv.ids,
-            n, chunk, n_lanes,
-            self.dv.has_delete and self.dv.space_dfa is not None,
-            self.dv.has_unk, self.dv.delete_token & 0xFFFFFFFF,
-            self.dv.unk_token & 0xFFFFFFFF)
+        total = n_lanes * chunk
+        text = np.zeros(total, np.uint8)
+        text[:n] = arr
+        dv = self.dv
+        sdfa = dv.space_dfa if dv.space_dfa is not None else dv.main_dfa
+        sout = dv.space_out if dv.space_out is not None else dv.main_out
+        recs, toks = self._fused_fn(n_lanes)(
+            jnp.asarray(text), n, dv.main_dfa, dv.main_out, sdfa, sout,
+            self._bb_byte, dv.p1, dv.index1, dv.index2, dv.ids)
         recs = np.asarray(recs)  # (T, L)
         toks = np.asarray(toks)
         real_lanes = -(-n // chunk)

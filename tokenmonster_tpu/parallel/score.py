@@ -1,0 +1,110 @@
+"""Distributed vocabulary-scoring step: the TPU mapping of trainvocab's
+worker pool (training/trainvocab.go:505-1322, §2.3 of SURVEY).
+
+The reference runs N CPU worker goroutines, each tokenizing its own corpus
+strips with a candidate vocabulary and accumulating per-token "chars covered"
+scores.  Here the corpus is sharded across the device mesh ("data" axis),
+the candidate vocabulary tables are replicated, every device runs the
+match + scan kernels over its shard (each lane chunk = an independent strip,
+mirroring the reference's strip segmentation), and the per-token score
+vector and token counts are reduced with jax.lax.psum over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.match import match_strips
+from ..ops.scan import _REC_DEL, _REC_MISS, _REC_TOK, scan_lanes
+
+
+def _shard_score(text_shard, dfa, dout, sdfa, sout, bb_byte,
+                 p1, index1_t, index2_t, ids3,
+                 *, chunk: int, has_delete: bool, delete_token: int,
+                 n_ids: int):
+    """Score one corpus shard. text_shard: uint8[S] with S = lanes*chunk."""
+    S = text_shard.shape[0]
+    n_lanes = S // chunk
+
+    # phase 1: strip-local match tables (no match crosses a strip boundary)
+    text2d = text_shard.reshape(n_lanes, chunk)
+    pad = jnp.zeros(64, jnp.uint32)
+    m_tab = jnp.concatenate([match_strips(dfa, dout, text2d).reshape(-1), pad])
+    if has_delete:
+        mb_tab = jnp.concatenate(
+            [match_strips(sdfa, sout, text2d).reshape(-1), pad])
+    else:
+        mb_tab = m_tab
+    bb = jnp.concatenate([
+        jnp.take(bb_byte, text_shard.astype(jnp.int32)),
+        jnp.full(64, bb_byte[0], jnp.int32)])
+
+    # phase 2: independent-strip scan (overlap=0: exact per-strip streams)
+    recs, toks = scan_lanes(
+        m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
+        S, chunk, n_lanes, has_delete, False, delete_token, 0,
+        overlap=0, strip_mode=True)
+
+    # accumulate scores: chars covered per emitted token id
+    # (trainvocab.go:1109-1157)
+    pos = (recs >> 4).astype(jnp.int32)           # (T, L) pos_after
+    starts = jnp.arange(n_lanes, dtype=jnp.int32) * chunk
+    prev = jnp.concatenate([starts[None, :], pos[:-1]], axis=0)
+    covered = jnp.where(recs != 0, pos - prev, 0)
+    has_tok = (recs & _REC_TOK) != 0
+    has_del = (recs & _REC_DEL) != 0
+    miss = (recs & _REC_MISS) != 0
+
+    flat_ids = jnp.where(has_tok & ~miss, toks, n_ids).reshape(-1)
+    flat_cov = jnp.where(has_tok & ~miss, covered, 0).reshape(-1)
+    scores = jnp.zeros(n_ids + 1, jnp.int32).at[flat_ids].add(flat_cov)
+    scores = scores[:n_ids]
+    n_tokens = (has_tok.astype(jnp.int32) + has_del.astype(jnp.int32)).sum()
+    n_missing = miss.astype(jnp.int32).sum()
+    return scores, n_tokens, n_missing
+
+
+def make_distributed_score_step(mesh: Mesh, chunk: int, has_delete: bool,
+                                delete_token: int, n_ids: int,
+                                axis: str = "data"):
+    """Build a jitted, mesh-sharded scoring step.
+
+    Returns step(text, tables...) -> (scores[n_ids], tokens, missing), with
+    `text` sharded over the mesh data axis and all tables replicated; the
+    outputs are psum-reduced over ICI, identical on every device.
+    """
+    kernel = functools.partial(
+        _shard_score, chunk=chunk, has_delete=has_delete,
+        delete_token=delete_token, n_ids=n_ids)
+
+    def step(text, dfa, dout, sdfa, sout, bb_byte, p1, i1, i2, ids3):
+        scores, n_tok, n_miss = kernel(
+            text, dfa, dout, sdfa, sout, bb_byte, p1, i1, i2, ids3)
+        return (jax.lax.psum(scores, axis),
+                jax.lax.psum(n_tok, axis),
+                jax.lax.psum(n_miss, axis))
+
+    spec_data = P(axis)
+    spec_rep = P()
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(spec_data,) + (spec_rep,) * 9,
+        out_specs=(spec_rep, spec_rep, spec_rep),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def device_tables_for_scoring(vocab):
+    """Replicated table tuple for make_distributed_score_step."""
+    from ..ops.scan import DeviceVocab
+    dv = DeviceVocab.build(vocab)
+    sdfa = dv.space_dfa if dv.space_dfa is not None else dv.main_dfa
+    sout = dv.space_out if dv.space_out is not None else dv.main_out
+    return dv, (dv.main_dfa, dv.main_out, sdfa, sout,
+                jnp.asarray(vocab.begin_byte.astype(np.int32)),
+                dv.p1, dv.index1, dv.index2, dv.ids)
