@@ -27,8 +27,8 @@ def _build_lib():
     so = os.path.join(out, "tm_native.so")
     if (not os.path.exists(so)
             or os.path.getmtime(so) < os.path.getmtime(src)):
-        cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-               "-o", so + ".tmp", src]
+        cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-fPIC",
+               "-shared", "-std=c++17", "-pthread", "-o", so + ".tmp", src]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(so + ".tmp", so)
     return so
@@ -56,6 +56,10 @@ def get_lib():
             lib.tm_tokenize.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p]
+            lib.tm_tokenize_parallel.restype = ctypes.c_int64
+            lib.tm_tokenize_parallel.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
             lib.tm_set_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                           ctypes.c_void_p]
             for name in ("tm_capcode_encode", "tm_nocapcode_encode"):
@@ -134,17 +138,27 @@ class NativeVocab:
             self._lib.tm_vocab_free(handle)
             self._handle = None
 
-    def tokenize(self, data: bytes):
-        """Tokenize normalized bytes; returns (ids uint32 array, missing)."""
+    def tokenize(self, data: bytes, threads: int | None = None):
+        """Tokenize normalized bytes; returns (ids uint32 array, missing).
+
+        Large inputs are scanned thread-parallel with exact speculative
+        stitching (identical output to the sequential scan)."""
         n = len(data)
         if n == 0:
             return np.zeros(0, np.uint32), 0
         buf = np.frombuffer(bytes(data), np.uint8)
         out = np.empty(n + 8, np.uint32)
         missing = ctypes.c_int64(0)
-        count = self._lib.tm_tokenize(
-            self._handle, buf.ctypes.data, n, out.ctypes.data,
-            ctypes.byref(missing))
+        if threads is None:
+            threads = os.cpu_count() or 1
+        if threads > 1 and n >= 64 * 1024:
+            count = self._lib.tm_tokenize_parallel(
+                self._handle, buf.ctypes.data, n, out.ctypes.data,
+                ctypes.byref(missing), threads)
+        else:
+            count = self._lib.tm_tokenize(
+                self._handle, buf.ctypes.data, n, out.ctypes.data,
+                ctypes.byref(missing))
         return out[:count].copy(), int(missing.value)
 
 

@@ -11,6 +11,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -20,24 +21,34 @@ constexpr uint32_t DOES_NOT_EXIST = 16777215;
 // ---------------- dictionary ----------------
 
 struct Slot {
-  uint64_t hash8;     // first-8-bytes packed big-endian (key for len<=8)
+  uint64_t hash8;     // mixed hash of the packed key
   uint32_t index;     // dictionary index + 1 (0 = empty)
   uint32_t len;       // key length
 };
 
 struct Dict {
-  // open addressing, power-of-two slots, keyed by (len, bytes).
-  // Probing uses incremental prefix hashes (one pass over the window, O(1)
-  // per length) gated by per-first-two-bytes length masks — the role the
-  // length-bucketed blooms play in the reference's pansearch
-  // (tokenmonster-cpp/src/tokenmonster.cpp:491-877).
+  // Open addressing, power-of-two slots, keyed by (len, packed key words).
+  // Keys are packed big-endian into up to 5 uint64 words zero-padded at the
+  // tail — the same packing as the reference's pansearch
+  // (tokenmonster-cpp/src/tokenmonster.cpp:919-958) — so a probe window is
+  // loaded once as 5 words and every candidate length needs only a mask,
+  // two multiplies and (on slot hit) word compares, no per-byte work.
+  // Per-first-two-bytes length masks gate candidate lengths (same role as
+  // pansearch's length-bucketed blooms).
   std::vector<Slot> slots;
-  std::vector<uint8_t> key_bytes;      // concatenated keys
-  std::vector<uint32_t> key_off;       // offsets per index
+  std::vector<uint64_t> packed;        // 5 words per index
   uint64_t mask = 0;
-  std::vector<uint64_t> len_mask2;     // [b0<<8|b1]: lengths >= 2 present
+  std::vector<uint64_t> len_mask2;     // [b0<<8|b1]: lengths == 2 present
+  std::vector<uint64_t> len_mask3;     // [hash3 & M3]: lengths >= 3 (superset)
+  static constexpr uint32_t M3_BITS = 19;
   uint8_t has_len1[256] = {0};
   int max_len = 0;
+
+  static inline uint32_t hash3(const uint8_t* p) {
+    uint32_t h = ((uint32_t)p[0] << 16) | ((uint32_t)p[1] << 8) | p[2];
+    h *= 2654435761u;
+    return h >> (32 - M3_BITS);
+  }
 
   static inline uint64_t mix(uint64_t h, uint32_t len) {
     h ^= (uint64_t)len * 0x9E3779B97F4A7C15ULL;
@@ -47,18 +58,35 @@ struct Dict {
     return h;
   }
 
-  static uint64_t hash_bytes(const uint8_t* p, uint32_t len) {
+  static inline uint64_t loadbe(const uint8_t* p) {
+    uint64_t w;
+    std::memcpy(&w, p, 8);
+    return __builtin_bswap64(w);
+  }
+
+  static inline uint64_t tail_mask(uint32_t tail_bytes) {
+    // keep the top `tail_bytes` bytes of a big-endian word (1..8)
+    return ~0ULL << ((8 - tail_bytes) * 8);
+  }
+
+  // pack key (len<=40) into w[0..4], zero-padded
+  static void pack_key(const uint8_t* p, uint32_t len, uint64_t* w) {
+    uint8_t buf[40] = {0};
+    std::memcpy(buf, p, len);
+    for (int i = 0; i < 5; i++) w[i] = loadbe(buf + i * 8);
+  }
+
+  static inline uint64_t hash_words(const uint64_t* w, uint32_t len) {
+    uint32_t nw = (len + 7) / 8;
     uint64_t h = 1469598103934665603ULL;
-    for (uint32_t i = 0; i < len; i++) {
-      h = (h ^ p[i]) * 1099511628211ULL;
-    }
+    for (uint32_t i = 0; i < nw; i++) h = (h ^ w[i]) * 1099511628211ULL;
     return mix(h, len);
   }
 
   void build(const uint8_t* bytes, const uint32_t* offs, uint32_t n) {
-    key_off.assign(offs, offs + n + 1);
-    key_bytes.assign(bytes, bytes + offs[n]);
     len_mask2.assign(65536, 0);
+    len_mask3.assign((size_t)1 << M3_BITS, 0);
+    packed.assign((size_t)n * 5, 0);
     uint64_t cap = 16;
     while (cap < (uint64_t)n * 2) cap <<= 1;
     slots.assign(cap, Slot{0, 0, 0});
@@ -69,56 +97,83 @@ struct Dict {
       if ((int)len > max_len) max_len = (int)len;
       if (len == 1) {
         has_len1[p[0]] = 1;
-      } else {
+      } else if (len == 2) {
         len_mask2[((uint32_t)p[0] << 8) | p[1]] |= 1ULL << len;
+      } else {
+        len_mask3[hash3(p)] |= 1ULL << len;
       }
-      uint64_t h = hash_bytes(p, len);
+      uint64_t* w = packed.data() + (size_t)i * 5;
+      pack_key(p, len, w);
+      uint64_t h = hash_words(w, len);
       uint64_t at = h & mask;
       while (slots[at].index) at = (at + 1) & mask;
       slots[at] = Slot{h, i + 1, len};
     }
   }
 
-  inline int32_t find_h(const uint8_t* p, uint32_t len, uint64_t h) const {
+  inline int32_t find_w(const uint64_t* w, uint32_t len, uint64_t h) const {
     uint64_t at = h & mask;
+    uint32_t nw = (len + 7) / 8;
     while (true) {
       const Slot& s = slots[at];
       if (!s.index) return -1;
       if (s.hash8 == h && s.len == len) {
         uint32_t idx = s.index - 1;
-        if (std::memcmp(key_bytes.data() + key_off[idx], p, len) == 0)
-          return (int32_t)idx;
+        const uint64_t* kw = packed.data() + (size_t)idx * 5;
+        bool eq = true;
+        for (uint32_t i = 0; i < nw; i++) {
+          if (kw[i] != w[i]) {
+            eq = false;
+            break;
+          }
+        }
+        if (eq) return (int32_t)idx;
       }
       at = (at + 1) & mask;
     }
   }
 
   inline int32_t find(const uint8_t* p, uint32_t len) const {
-    return find_h(p, len, hash_bytes(p, len));
+    uint64_t w[5];
+    pack_key(p, len, w);
+    return find_w(w, len, hash_words(w, len));
   }
 
-  // longest key that is a prefix of data[0..limit)
+  // longest key that is a prefix of data[0..limit).
+  // NOTE: requires >= 40 readable bytes beyond `data` (callers pad).
   inline bool longest(const uint8_t* data, int limit, int32_t* index,
                       int* length) const {
     if (limit <= 0) return false;
     uint64_t lm = 0;
     if (limit >= 2) {
       lm = len_mask2[((uint32_t)data[0] << 8) | data[1]];
+      if (limit >= 3) lm |= len_mask3[hash3(data)];
       int maxl = limit < max_len ? limit : max_len;
       lm &= (maxl >= 63) ? ~0ULL : ((2ULL << maxl) - 1);
     }
     if (lm) {
       int top = 63 - __builtin_clzll(lm);
-      // one incremental FNV pass up to the longest candidate length
-      uint64_t pre[41];
+      // load the window once; fold whole-word prefix hashes once
+      uint64_t w[5], pre[6];
+      int nw_top = (top + 7) / 8;
       uint64_t h = 1469598103934665603ULL;
-      for (int i = 0; i < top; i++) {
-        h = (h ^ data[i]) * 1099511628211ULL;
+      pre[0] = h;
+      for (int i = 0; i < nw_top; i++) {
+        w[i] = loadbe(data + i * 8);
+        h = (h ^ w[i]) * 1099511628211ULL;
         pre[i + 1] = h;
       }
+      uint64_t wq[5];
       do {
         int l = 63 - __builtin_clzll(lm);
-        int32_t idx = find_h(data, (uint32_t)l, mix(pre[l], (uint32_t)l));
+        uint32_t nw = ((uint32_t)l + 7) / 8;
+        uint32_t tail = (uint32_t)l - (nw - 1) * 8;
+        uint64_t last = w[nw - 1] & tail_mask(tail);
+        uint64_t hh = mix((pre[nw - 1] ^ last) * 1099511628211ULL, (uint32_t)l);
+        // query words with masked tail (cheap partial copy)
+        for (uint32_t i = 0; i + 1 < nw; i++) wq[i] = w[i];
+        wq[nw - 1] = last;
+        int32_t idx = find_w(wq, (uint32_t)l, hh);
         if (idx >= 0) {
           *index = idx;
           *length = l;
@@ -128,7 +183,9 @@ struct Dict {
       } while (lm);
     }
     if (has_len1[data[0]]) {
-      int32_t idx = find(data, 1);
+      uint64_t w0 = (uint64_t)data[0] << 56;
+      int32_t idx = find_w(&w0, 1, mix((1469598103934665603ULL ^ w0) *
+                                           1099511628211ULL, 1));
       if (idx >= 0) {
         *index = idx;
         *length = 1;
@@ -205,22 +262,17 @@ void* tm_vocab_new(const uint8_t* key_bytes, const uint32_t* key_offs,
 
 void tm_vocab_free(void* vp) { delete (Vocab*)vp; }
 
-// Tokenize `data[0..n)` (already normalized+capcoded, NOT including the
-// lookahead byte).  Writes ids into out (capacity >= n+8).  Returns the
-// number of ids written; *missing_out = missing byte count.
-int64_t tm_tokenize(void* vp, const uint8_t* data_in, int64_t n,
-                    uint32_t* out, int64_t* missing_out) {
-  Vocab* v = (Vocab*)vp;
+// Core scan over [i0, stop): emits ids and (optionally) per-emission records
+// packed as pos<<4 | fd | ntok<<1 | miss<<3 — the automaton state
+// (position, forwardDelete) at each emission, used for exact speculative
+// stitching (same scheme as the TPU scan kernel, ops/scan.py).
+static int64_t tokenize_impl(const Vocab* v, const uint8_t* data, int64_t n,
+                             int64_t i0, int64_t stop, uint32_t* out,
+                             int64_t* missing_out,
+                             std::vector<uint64_t>* recs,
+                             std::vector<uint32_t>* rec_offs) {
   const Dict& D = v->dict;
   int64_t n_out = 0, missing = 0;
-  if (n <= 0 || v->max_token_length == 0) {
-    *missing_out = 0;
-    return 0;
-  }
-  // +1 lookahead byte (go :1039-1046)
-  std::vector<uint8_t> buf((size_t)n + 1, 0);
-  std::memcpy(buf.data(), data_in, (size_t)n);
-  const uint8_t* data = buf.data();
 
   const int lil_off = (v->charset == 2) ? 2 : 1;
   const int max_len = v->max_token_length;
@@ -230,18 +282,27 @@ int64_t tm_tokenize(void* vp, const uint8_t* data_in, int64_t n,
   const bool has_delete = v->delete_token != DOES_NOT_EXIST;
   const bool has_unk = v->unk_token != DOES_NOT_EXIST;
 
-  int64_t i = 0;
+  int64_t i = i0;
   int fd = 0;
   int32_t index = 0;
   int length = 0;
 
-  while (i < n) {
+  auto rec = [&](int64_t pos, int fd_, int ntok, int miss_) {
+    if (recs) {
+      recs->push_back(((uint64_t)pos << 4) | (uint64_t)fd_ |
+                      ((uint64_t)ntok << 1) | ((uint64_t)miss_ << 3));
+      rec_offs->push_back((uint32_t)n_out);
+    }
+  };
+
+  while (i < stop) {
     int lim = (int)((n - i) < max_len ? (n - i) : max_len);
     if (!D.longest(data + i, lim, &index, &length)) {
       if (has_unk) out[n_out++] = v->unk_token;
       i++;
       missing++;
       fd = 0;
+      rec(i, 0, has_unk ? 1 : 0, 1);
       continue;
     }
     while (true) {  // checkpoint
@@ -341,6 +402,7 @@ int64_t tm_tokenize(void* vp, const uint8_t* data_in, int64_t n,
           length = lA;
           index = iA;
           fd = 0;
+          rec(i, 0, 1, 0);
           continue;
         } else if (mx == s2) {
           out[n_out++] = v->id1[index];
@@ -348,6 +410,7 @@ int64_t tm_tokenize(void* vp, const uint8_t* data_in, int64_t n,
           length = lB;
           index = iB;
           fd = 0;
+          rec(i, 0, 1, 0);
           continue;
         } else if (mx == s3) {
           out[n_out++] = v->id2[index];
@@ -355,6 +418,7 @@ int64_t tm_tokenize(void* vp, const uint8_t* data_in, int64_t n,
           length = lC;
           index = iC;
           fd = 0;
+          rec(i, 0, 1, 0);
           continue;
         } else if (mx == s1b) {
           out[n_out++] = v->id[index];
@@ -363,6 +427,7 @@ int64_t tm_tokenize(void* vp, const uint8_t* data_in, int64_t n,
           length = lAb;
           index = iAb;
           fd = 1;
+          rec(i, 1, 2, 0);
           continue;
         } else if (mx == s2b) {
           out[n_out++] = v->id1[index];
@@ -371,6 +436,7 @@ int64_t tm_tokenize(void* vp, const uint8_t* data_in, int64_t n,
           length = lBb;
           index = iBb;
           fd = 1;
+          rec(i, 1, 2, 0);
           continue;
         } else if (mx == s3b) {
           out[n_out++] = v->id2[index];
@@ -379,6 +445,7 @@ int64_t tm_tokenize(void* vp, const uint8_t* data_in, int64_t n,
           length = lCb;
           index = iCb;
           fd = 1;
+          rec(i, 1, 2, 0);
           continue;
         }
       }
@@ -386,8 +453,113 @@ int64_t tm_tokenize(void* vp, const uint8_t* data_in, int64_t n,
       out[n_out++] = v->id[index];
       i += length;
       fd = 0;
+      rec(i, 0, 1, 0);
       break;
     }
+  }
+  *missing_out = missing;
+  return n_out;
+}
+
+// Tokenize `data[0..n)` (already normalized+capcoded).  Writes ids into out
+// (capacity >= n+8).  Returns the id count; *missing_out = missing bytes.
+int64_t tm_tokenize(void* vp, const uint8_t* data_in, int64_t n,
+                    uint32_t* out, int64_t* missing_out) {
+  Vocab* v = (Vocab*)vp;
+  *missing_out = 0;
+  if (n <= 0 || v->max_token_length == 0) return 0;
+  // +1 lookahead byte (go :1039-1046); extra zero padding so packed-word
+  // probes may read 40 bytes past any in-range position.
+  std::vector<uint8_t> buf((size_t)n + 48, 0);
+  std::memcpy(buf.data(), data_in, (size_t)n);
+  return tokenize_impl(v, buf.data(), n, 0, n, out, missing_out, nullptr,
+                       nullptr);
+}
+
+// Thread-parallel tokenize with exact speculative stitching: each thread
+// scans its region from state (region_start, fd=0) and continues past the
+// next junction; streams are spliced at the first shared emission state.
+int64_t tm_tokenize_parallel(void* vp, const uint8_t* data_in, int64_t n,
+                             uint32_t* out, int64_t* missing_out,
+                             int n_threads) {
+  Vocab* v = (Vocab*)vp;
+  *missing_out = 0;
+  if (n <= 0 || v->max_token_length == 0) return 0;
+  const int64_t W = 256;
+  if (n_threads < 1) n_threads = 1;
+  if ((int64_t)n_threads > n / (4 * W)) n_threads = (int)(n / (4 * W));
+  if (n_threads <= 1) return tm_tokenize(vp, data_in, n, out, missing_out);
+
+  std::vector<uint8_t> buf((size_t)n + 48, 0);
+  std::memcpy(buf.data(), data_in, (size_t)n);
+  const uint8_t* data = buf.data();
+
+  int64_t chunk = n / n_threads;
+  std::vector<std::vector<uint32_t>> ids(n_threads);
+  std::vector<std::vector<uint64_t>> recs(n_threads);
+  std::vector<std::vector<uint32_t>> offs(n_threads);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      int64_t start = (int64_t)t * chunk;
+      int64_t end = (t == n_threads - 1) ? n : (int64_t)(t + 1) * chunk;
+      int64_t stop = end + W < n ? end + W : n;
+      ids[t].resize((size_t)(stop - start) + 16);
+      int64_t miss = 0;
+      int64_t cnt = tokenize_impl(v, data, n, start, stop, ids[t].data(),
+                                  &miss, &recs[t], &offs[t]);
+      ids[t].resize((size_t)cnt);
+    });
+  }
+  for (auto& th : threads) th.join();
+
+  // stitch
+  int64_t n_out = 0, missing = 0;
+  size_t start_rec = 0;  // first record of current thread NOT yet emitted
+  for (int t = 0; t < n_threads; t++) {
+    size_t end_rec = recs[t].size();  // exclusive
+    size_t next_start = 0;
+    if (t + 1 < n_threads) {
+      int64_t J = (int64_t)(t + 1) * chunk;
+      // two-pointer search for first shared (pos, fd) with pos >= J
+      const auto& a = recs[t];
+      const auto& b = recs[t + 1];
+      size_t ia = 0, ib = 0;
+      // advance ia to first record with pos >= J
+      while (ia < a.size() && (int64_t)(a[ia] >> 4) < J) ia++;
+      bool found = false;
+      while (ia < a.size() && ib < b.size()) {
+        uint64_t sa = a[ia] >> 4 << 1 | (a[ia] & 1);
+        uint64_t sb = b[ib] >> 4 << 1 | (b[ib] & 1);
+        if (sa == sb) {
+          found = true;
+          break;
+        }
+        if (sa < sb) ia++; else ib++;
+      }
+      if (!found) {
+        // pathological junction: redo everything single-threaded
+        return tm_tokenize(vp, data_in, n, out, missing_out);
+      }
+      end_rec = ia + 1;
+      next_start = ib + 1;
+    }
+    // emit ids for records (start_rec, end_rec)
+    if (start_rec < end_rec) {
+      uint32_t id_from = start_rec == 0 ? 0 : offs[t][start_rec - 1 + 1];
+      // offs[k] = id count AFTER record k; span of records [s, e) is
+      // [offs[s-1], offs[e-1]) with offs[-1] = 0
+      uint32_t lo = start_rec == 0 ? 0 : offs[t][start_rec - 1];
+      uint32_t hi = offs[t][end_rec - 1];
+      (void)id_from;
+      std::memcpy(out + n_out, ids[t].data() + lo,
+                  (size_t)(hi - lo) * sizeof(uint32_t));
+      n_out += hi - lo;
+      for (size_t k = start_rec; k < end_rec; k++) {
+        missing += (recs[t][k] >> 3) & 1;
+      }
+    }
+    start_rec = next_start;
   }
   *missing_out = missing;
   return n_out;
