@@ -60,6 +60,10 @@ def get_lib():
             lib.tm_tokenize_parallel.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+            lib.tm_tokenize_score.restype = ctypes.c_int64
+            lib.tm_tokenize_score.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p]
             lib.tm_set_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                           ctypes.c_void_p]
             for name in ("tm_capcode_encode", "tm_nocapcode_encode"):
@@ -162,6 +166,22 @@ class NativeVocab:
         return out[:count].copy(), int(missing.value)
 
 
+def _add_score_method():
+    def tokenize_score(self, data: bytes, score_acc: np.ndarray):
+        """Trainer scoring pass: accumulates chars-covered per token id into
+        score_acc (int64, len >= max id + 1).  Returns (tokensInText, missing)."""
+        n = len(data)
+        if n == 0:
+            return 0, 0
+        buf = np.frombuffer(bytes(data), np.uint8)
+        missing = ctypes.c_int64(0)
+        n_tokens = self._lib.tm_tokenize_score(
+            self._handle, buf.ctypes.data, n, score_acc.ctypes.data,
+            ctypes.byref(missing))
+        return int(n_tokens), int(missing.value)
+    NativeVocab.tokenize_score = tokenize_score
+
+
 def native_capcode_encode(data: bytes) -> bytes | None:
     lib = get_lib()
     if lib is None:
@@ -184,6 +204,9 @@ def native_nocapcode_encode(data: bytes) -> bytes | None:
     out = np.empty(2 * n + 16, np.uint8)
     m = lib.tm_nocapcode_encode(src.ctypes.data, n, out.ctypes.data)
     return out[:m].tobytes()
+
+
+_add_score_method()
 
 
 def native_capcode_decode(data: bytes, state: np.ndarray) -> bytes | None:

@@ -270,7 +270,9 @@ static int64_t tokenize_impl(const Vocab* v, const uint8_t* data, int64_t n,
                              int64_t i0, int64_t stop, uint32_t* out,
                              int64_t* missing_out,
                              std::vector<uint64_t>* recs,
-                             std::vector<uint32_t>* rec_offs) {
+                             std::vector<uint32_t>* rec_offs,
+                             int64_t* score_acc = nullptr,
+                             int64_t* tokens_count = nullptr) {
   const Dict& D = v->dict;
   int64_t n_out = 0, missing = 0;
 
@@ -287,12 +289,24 @@ static int64_t tokenize_impl(const Vocab* v, const uint8_t* data, int64_t n,
   int32_t index = 0;
   int length = 0;
 
+  int64_t prev_pos = i0;
+  int64_t n_tokens = 0;
   auto rec = [&](int64_t pos, int fd_, int ntok, int miss_) {
     if (recs) {
       recs->push_back(((uint64_t)pos << 4) | (uint64_t)fd_ |
                       ((uint64_t)ntok << 1) | ((uint64_t)miss_ << 3));
       rec_offs->push_back((uint32_t)n_out);
     }
+    if (score_acc) {
+      // trainvocab.go:1105-1160: scores[id] += consumed bytes (already
+      // forwardDelete-adjusted); the delete marker itself scores +1.
+      if (!miss_ && ntok >= 1) {
+        score_acc[out[n_out - ntok]] += pos - prev_pos;
+        if (ntok == 2) score_acc[out[n_out - 1]] += 1;
+      }
+      n_tokens += miss_ ? 1 : ntok;
+    }
+    prev_pos = pos;
   };
 
   while (i < stop) {
@@ -458,7 +472,25 @@ static int64_t tokenize_impl(const Vocab* v, const uint8_t* data, int64_t n,
     }
   }
   *missing_out = missing;
+  if (tokens_count) *tokens_count = n_tokens;
   return n_out;
+}
+
+// Scoring pass for the trainer: accumulate per-id chars-covered scores
+// (exact trainvocab worker semantics) instead of returning the id stream.
+// Returns tokensInText (tokens + missing bytes, b-branches count 2).
+int64_t tm_tokenize_score(void* vp, const uint8_t* data_in, int64_t n,
+                          int64_t* score_acc, int64_t* missing_out) {
+  Vocab* v = (Vocab*)vp;
+  *missing_out = 0;
+  if (n <= 0 || v->max_token_length == 0) return 0;
+  std::vector<uint8_t> buf((size_t)n + 48, 0);
+  std::memcpy(buf.data(), data_in, (size_t)n);
+  std::vector<uint32_t> out((size_t)n + 8);
+  int64_t n_tokens = 0;
+  tokenize_impl(v, buf.data(), n, 0, n, out.data(), missing_out, nullptr,
+                nullptr, score_acc, &n_tokens);
+  return n_tokens;
 }
 
 // Tokenize `data[0..n)` (already normalized+capcoded).  Writes ids into out

@@ -1,0 +1,285 @@
+"""Candidate token generation: the getalltokens pipeline.
+
+Equivalent of training/getalltokens.go:1613-1995.  Enumerates every
+substring (lengths 2..40 raw for unfiltered mode, 3..41 with the final rune
+as lookahead for filtered modes), counts occurrences with chunk/micro-chunk
+min-occurrence pruning, applies the mode filters, adds the ~900 extraTokens
+(non-strict modes), and writes a ``.tok`` file.
+
+Counting is restructured for vectorization: instead of filtering each of the
+~40N substring instances, unique substrings are counted per length with
+numpy sort-unique and the filter runs once per unique substring — identical
+results (filters are pure functions of the substring bytes).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..core import capcode as cc
+from ..core.binio import Writer
+from ..core.normalize import Normalizer
+from ..utils.runes import decode_utf8
+from . import filters as F
+from .extra_tokens import EXTRA_TOKENS
+
+log = logging.getLogger("tokenmonster_tpu.getalltokens")
+
+MAX_TOKEN_LENGTH = 40
+
+
+def _unique_substrings(data: np.ndarray, length: int):
+    """All substrings of `length` starting at 0..len(data)-tail, deduped.
+
+    Returns (keys_2d uint8 (U, length), counts int64)."""
+    n = len(data) - (MAX_TOKEN_LENGTH + 1)
+    if n <= 0:
+        return np.zeros((0, length), np.uint8), np.zeros(0, np.int64)
+    windows = np.lib.stride_tricks.sliding_window_view(data, length)[:n]
+    view = np.ascontiguousarray(windows).view(
+        np.dtype((np.void, length))).reshape(-1)
+    keys, counts = np.unique(view, return_counts=True)
+    return keys.view(np.uint8).reshape(-1, length), counts
+
+
+class TokenCounter:
+    """Counting map with min-occurrence pruning (pansearch.Counter role)."""
+
+    def __init__(self):
+        self.counts: dict[bytes, int] = {}
+
+    def add(self, token: bytes, count: int = 1):
+        self.counts[token] = self.counts.get(token, 0) + count
+
+    def build_with_min(self, min_occur: int, keep_filter=None):
+        if min_occur > 1 or keep_filter is not None:
+            self.counts = {
+                k: v for k, v in self.counts.items()
+                if v >= min_occur and (keep_filter is None or keep_filter(k))}
+
+    def __len__(self):
+        return len(self.counts)
+
+    def keys_sorted(self):
+        return sorted(self.counts, key=lambda k: (len(k), k))
+
+
+def _is_valid_utf8(b: bytes, using_capcode: int) -> bool:
+    """getalltokens.go:241-269."""
+    if using_capcode != 1:
+        try:
+            b.decode("utf-8")
+            return True
+        except UnicodeDecodeError:
+            return False
+    i = 0
+    while i < len(b):
+        if b[i] == cc.NO_CAPCODE_DELETE_TOKEN:
+            i += 1
+            continue
+        r, n = decode_utf8(b, i)
+        if r == 0xFFFD and (n != 3 or b[i:i + 3] != b"\xef\xbf\xbd"):
+            return False
+        i += n
+    return True
+
+
+def _is_latin(b: bytes) -> bool:
+    """getalltokens.go:230-239: letters must be in Latin script."""
+    try:
+        s = b.decode("utf-8", errors="surrogateescape")
+    except Exception:  # pragma: no cover
+        return True
+    import unicodedata
+    for ch in s:
+        if ch.isalpha():
+            name = unicodedata.name(ch, "")
+            if not ("LATIN" in name or ch in "ʼʻ"):
+                return False
+    return True
+
+
+def get_all_tokens(data: bytes, mode, charset: int = 1,
+                   normalization: str = "nfd", using_capcode: int = 2,
+                   max_token_length: int = MAX_TOKEN_LENGTH,
+                   min_occur_total: int = 0, min_occur_singles: int = 0,
+                   min_occur_chunk: int = 4, min_occur_micro_chunk: int = 2,
+                   chunk_size: int = 100_000_000, micro_chunks: int = 5,
+                   only_latin: bool = False, only_valid: bool = False,
+                   words_per_token: int = 0, add_extra_tokens: bool = True,
+                   pre_normalized: bool = False):
+    """Run the pipeline; returns (counter, char_table, header dict)."""
+    level = {"unfiltered": 0, "clean": 1, "balanced": 2, "consistent": 3,
+             "strict": 4}.get(mode, mode)
+    if level >= 3 and using_capcode == 0:
+        raise ValueError("modes consistent/strict require capcode 1 or 2")
+    normalizer = Normalizer(normalization if normalization else
+                            ("nfd" if charset == 1 else 0))
+    if normalizer.specified_lowercase() and using_capcode == 2:
+        raise ValueError("cannot combine lowercase normalization with capcode 2")
+
+    if not pre_normalized:
+        from ..core.vocab import normalize_and_capcode
+        data = normalize_and_capcode(bytes(data), using_capcode, normalizer)
+
+    if min_occur_total <= 0:
+        min_occur_total = max(1, len(data) // 10_000_000)
+    if min_occur_singles <= 0:
+        min_occur_singles = min_occur_total
+
+    ctx = F.Ctx(charset, using_capcode, words_per_token)
+    filt = F.FILTERS.get(level)
+
+    chunk_size += 4 - (chunk_size % 4)
+    arr = np.frombuffer(data, np.uint8)
+    n_chunks = max(1, -(-len(arr) // chunk_size))
+    micro_size = chunk_size // max(1, micro_chunks)
+    micro_size += 4 - (micro_size % 4)
+
+    counter = TokenCounter()
+    char_table = np.zeros(256, np.int64)
+
+    if level == 0:
+        lengths = range(2, max_token_length + 1)
+    else:
+        lengths = range(3, max_token_length + 2)
+
+    pos = 0
+    for ci in range(n_chunks):
+        chunk = arr[ci * chunk_size:(ci + 1) * chunk_size]
+        for mi in range(max(1, micro_chunks)):
+            micro = chunk[mi * micro_size:(mi + 1) * micro_size]
+            if len(micro) == 0:
+                continue
+            usable = len(micro) - (max_token_length + 1)
+            if usable > 0:
+                counts_b = np.bincount(micro[:usable], minlength=256)
+                char_table += counts_b
+            micro_counter: dict[bytes, int] = {}
+            for length in lengths:
+                keys, counts = _unique_substrings(micro, length)
+                if len(keys) == 0:
+                    continue
+                for key, count in zip(keys, counts):
+                    raw = key.tobytes()
+                    if level == 0:
+                        micro_counter[raw] = micro_counter.get(raw, 0) + int(count)
+                    else:
+                        tok, ok = filt(ctx, raw)
+                        if ok and 2 <= len(tok) <= max_token_length:
+                            micro_counter[tok] = micro_counter.get(tok, 0) + int(count)
+            for k, v in micro_counter.items():
+                counter.add(k, v)
+            if micro_chunks > 1 and mi < micro_chunks - 1:
+                counter.build_with_min(min_occur_micro_chunk)
+        if ci < n_chunks - 1:
+            counter.build_with_min(min_occur_chunk)
+        pos += len(chunk)
+
+    # final trim + validity filters (getalltokens.go:1932-1958)
+    keep = None
+    if only_latin and only_valid:
+        keep = lambda b: (_is_valid_utf8(b, using_capcode) and _is_latin(b))  # noqa: E731
+    elif only_latin:
+        keep = _is_latin
+    elif only_valid:
+        keep = lambda b: _is_valid_utf8(b, using_capcode)  # noqa: E731
+    counter.build_with_min(min_occur_total, keep)
+
+    # extra code tokens (getalltokens.go:1962-1975)
+    if level < 4 and add_extra_tokens:
+        from ..core.vocab import normalize_and_capcode
+        for v in EXTRA_TOKENS:
+            vb = v.encode("utf-8")
+            counter.add(normalize_and_capcode(vb, using_capcode, normalizer), 1)
+            counter.add(normalize_and_capcode(b" " + vb, using_capcode, normalizer), 1)
+            if vb.endswith(b"/"):
+                counter.add(vb + b"D", 1)
+
+    header = {
+        "using_capcode": using_capcode,
+        "charset": charset,
+        "norm_flag": normalizer.flag,
+        "level": level,
+        "min_occur_singles": min_occur_singles,
+    }
+    return counter, char_table, header
+
+
+def save_tokens_file(path, counter: TokenCounter, char_table,
+                     header: dict):
+    """Write a ``.tok`` file (getalltokens.go:186-228): zlib stream with the
+    8-byte header, u64 count, then singles and length-sorted tokens."""
+    w = Writer()
+    w.write_byte(header["using_capcode"])
+    w.write_byte(header["charset"])
+    w.write_byte(header["norm_flag"])
+    w.write_byte(header["level"])
+    w.write_byte(header.get("reserve", 0))
+    w.write_byte(0)
+    w.write_byte(0)
+    w.write_byte(0)
+    singles = [i for i in range(256)
+               if char_table[i] >= header.get("min_occur_singles", 1)]
+    w.write_uint64(len(counter) + len(singles))
+    for b in singles:
+        w.write_bytes8(bytes([b]))
+    for tok in counter.keys_sorted():
+        w.write_bytes8(tok)
+    w.to_zlib_file(path)
+
+
+def load_tokens_file(path):
+    """Read a ``.tok`` file (exportvocab.go:20-60).  Returns a dict with
+    header fields, tokens, optional scores and special tokens."""
+    from ..core.binio import Reader
+    r = Reader.from_zlib_file(path)
+    out = {
+        "using_capcode": r.read_byte(),
+        "charset": r.read_byte(),
+        "norm_flag": r.read_byte(),
+        "level": r.read_byte(),
+        "reserve": r.read_byte(),
+    }
+    r.read_byte(); r.read_byte(); r.read_byte()
+    n = r.read_uint64()
+    tokens = [r.read_bytes8() for _ in range(n)]
+    scores = None
+    specials = None
+    if not r.eof():
+        scores = [r.read_float32() for _ in range(n)]
+        if not r.eof():
+            ns = r.read_uint32()
+            specials = [r.read_bytes8() for _ in range(ns)]
+            if not r.eof():
+                raise ValueError(f"{path} not valid")
+    out["tokens"] = tokens
+    out["scores"] = scores
+    out["specials"] = specials
+    return out
+
+
+def save_tokens_with_scores(path, header: dict, tokens, scores=None,
+                            specials=None):
+    """trainvocab-style .tok writer (trainvocab.go:412-451)."""
+    w = Writer()
+    w.write_byte(header["using_capcode"])
+    w.write_byte(header["charset"])
+    w.write_byte(header["norm_flag"])
+    w.write_byte(header["level"])
+    w.write_byte(header.get("reserve", 0))
+    w.write_byte(0)
+    w.write_byte(0)
+    w.write_byte(0)
+    w.write_uint64(len(tokens))
+    for t in tokens:
+        w.write_bytes8(t)
+    if scores is not None:
+        for s in scores:
+            w.write_float32(float(s))
+        w.write_uint32(len(specials or []))
+        for t in (specials or []):
+            w.write_bytes8(t)
+    w.to_zlib_file(path)
