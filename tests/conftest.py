@@ -3,9 +3,9 @@ import sys
 
 # TPU sharding tests run on a virtual 8-device CPU mesh; the real-chip bench
 # path is exercised separately by bench.py.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 # the axon plugin ignores JAX_PLATFORMS; the legacy var does force CPU
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
