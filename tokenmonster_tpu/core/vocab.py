@@ -21,6 +21,9 @@ from .tokenmeta import (
 
 MAX_TOKEN_LEN = 40
 
+# test hook: set True to force the pure-Python metadata pass
+_FORCE_PYTHON_META = False
+
 
 def apply_capcode(data: bytes, using_capcode: int) -> bytes:
     if using_capcode == 2:
@@ -780,40 +783,66 @@ class Vocab:
         self.id1 = np.zeros(n, np.uint32)
         self.id2 = np.zeros(n, np.uint32)
         self.score = np.zeros(n, np.float32)
-        begin_counts = np.zeros((256, 4), np.uint32)
-
         for i, token in enumerate(dictionary.keys):
             self.id[i] = ids_map[token]
             self.score[i] = scores_map.get(token, 0.0)
-            if has_specials and token in special_map:
-                self.flag[i] = 64
-                continue
-            flag, nwords, min_alt_size, bucket = classify_token(
-                token, charset, using_capcode)
-            begin_counts[token[0]][bucket] += 1
-            self.flag[i] = flag
-            self.nwords[i] = nwords
-            idx1, len1, idx2, len2 = compute_alternatives(
-                token, dictionary, charset, using_capcode, min_alt_size)
-            self.index1[i] = idx1
-            self.index2[i] = idx2
-            self.len1[i] = len1
-            self.len2[i] = len2
-            if len1 > 0:
-                self.id1[i] = self.id[idx1]
-                if len2 > 0:
-                    self.id2[i] = self.id[idx2]
 
-        # beginByte majority vote  (go :3779-3788)
-        self.begin_byte = np.zeros(256, np.uint8)
-        for i in range(256):
-            c = begin_counts[i]
-            if c[1] > c[0] and c[1] > c[2] and c[1] > c[3] and c[1] > 2:
-                self.begin_byte[i] = 1          # letter
-            elif c[0] > c[1] and c[0] > c[2] and c[0] > c[3] and c[0] > 2:
-                self.begin_byte[i] = 4 + 8      # space
-            elif c[3] > c[0] and c[3] > c[1] and c[3] > c[2] and c[3] > 2:
-                self.begin_byte[i] = 2 + 8      # punctuation or capcode
+        # The classification + alternatives pass runs in native code when
+        # available (tm_build_meta — same computation, ~100x faster; the
+        # pure-Python path below is the oracle and covers UTF-16).
+        meta = None
+        if charset != 2 and not _FORCE_PYTHON_META:
+            try:
+                from .. import native as _native
+                special_mask = None
+                if has_specials:
+                    special_mask = np.fromiter(
+                        (1 if t in special_map else 0 for t in dictionary.keys),
+                        np.uint8, count=n)
+                meta = _native.native_build_meta(
+                    dictionary.keys, using_capcode, special_mask)
+            except Exception:
+                meta = None
+        if meta is not None:
+            (self.flag, self.nwords, self.index1, self.index2,
+             self.len1, self.len2, self.begin_byte) = meta
+            idx1c = np.minimum(self.index1, max(0, n - 1)).astype(np.int64)
+            idx2c = np.minimum(self.index2, max(0, n - 1)).astype(np.int64)
+            if n:
+                self.id1 = np.where(self.len1 > 0, self.id[idx1c], 0).astype(np.uint32)
+                self.id2 = np.where(self.len2 > 0, self.id[idx2c], 0).astype(np.uint32)
+        else:
+            begin_counts = np.zeros((256, 4), np.uint32)
+            for i, token in enumerate(dictionary.keys):
+                if has_specials and token in special_map:
+                    self.flag[i] = 64
+                    continue
+                flag, nwords, min_alt_size, bucket = classify_token(
+                    token, charset, using_capcode)
+                begin_counts[token[0]][bucket] += 1
+                self.flag[i] = flag
+                self.nwords[i] = nwords
+                idx1, len1, idx2, len2 = compute_alternatives(
+                    token, dictionary, charset, using_capcode, min_alt_size)
+                self.index1[i] = idx1
+                self.index2[i] = idx2
+                self.len1[i] = len1
+                self.len2[i] = len2
+                if len1 > 0:
+                    self.id1[i] = self.id[idx1]
+                    if len2 > 0:
+                        self.id2[i] = self.id[idx2]
+
+            # beginByte majority vote  (go :3779-3788)
+            self.begin_byte = np.zeros(256, np.uint8)
+            for i in range(256):
+                c = begin_counts[i]
+                if c[1] > c[0] and c[1] > c[2] and c[1] > c[3] and c[1] > 2:
+                    self.begin_byte[i] = 1          # letter
+                elif c[0] > c[1] and c[0] > c[2] and c[0] > c[3] and c[0] > 2:
+                    self.begin_byte[i] = 4 + 8      # space
+                elif c[3] > c[0] and c[3] > c[1] and c[3] > c[2] and c[3] > 2:
+                    self.begin_byte[i] = 2 + 8      # punctuation or capcode
 
         if delete_index != DOES_NOT_EXIST:
             self.delete_token = int(self.id[delete_index])

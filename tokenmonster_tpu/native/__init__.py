@@ -64,6 +64,12 @@ def get_lib():
             lib.tm_tokenize_score.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p]
+            lib.tm_build_meta.restype = None
+            lib.tm_build_meta.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
             lib.tm_set_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                           ctypes.c_void_p]
             for name in ("tm_capcode_encode", "tm_nocapcode_encode"):
@@ -207,6 +213,39 @@ def native_nocapcode_encode(data: bytes) -> bytes | None:
 
 
 _add_score_method()
+
+
+def native_build_meta(tokens: list, using_capcode: int, special_mask):
+    """Compute flag/nwords/alternatives/beginByte for a sorted token list.
+
+    Returns (flag u8, nwords u8, index1 u32, index2 u32, len1 i32, len2 i32,
+    begin_byte u8[256]) or None if the native library is unavailable.
+    Exact port of the classification pass — see tm_build_meta in
+    tm_native.cpp and core/tokenmeta.py."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ensure_tables(lib)
+    n = len(tokens)
+    offs = np.zeros(n + 1, np.uint32)
+    for i, t in enumerate(tokens):
+        offs[i + 1] = offs[i] + len(t)
+    blob = np.frombuffer(b"".join(tokens), np.uint8) if n else np.zeros(0, np.uint8)
+    blob = np.ascontiguousarray(blob)
+    mask = np.ascontiguousarray(np.asarray(special_mask, np.uint8)) \
+        if special_mask is not None else np.zeros(n, np.uint8)
+    flag = np.zeros(n, np.uint8)
+    nwords = np.zeros(n, np.uint8)
+    index1 = np.zeros(n, np.uint32)
+    index2 = np.zeros(n, np.uint32)
+    len1 = np.zeros(n, np.int32)
+    len2 = np.zeros(n, np.int32)
+    bb = np.zeros(256, np.uint8)
+    lib.tm_build_meta(blob.ctypes.data, offs.ctypes.data, n, using_capcode,
+                      mask.ctypes.data, flag.ctypes.data, nwords.ctypes.data,
+                      index1.ctypes.data, index2.ctypes.data,
+                      len1.ctypes.data, len2.ctypes.data, bb.ctypes.data)
+    return flag, nwords, index1, index2, len1, len2, bb
 
 
 def native_capcode_decode(data: bytes, state: np.ndarray) -> bytes | None:

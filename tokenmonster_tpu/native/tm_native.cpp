@@ -604,7 +604,7 @@ const uint8_t* g_props = nullptr;     // chartypes bit flags per codepoint
 const uint32_t* g_lower = nullptr;
 const uint32_t* g_upper = nullptr;
 constexpr uint8_t P_LETTER = 1, P_UPPER = 2, P_LOWER = 4, P_NUMBER = 8,
-                  P_MODIFIER = 32;
+                  P_MODIFIER = 32, P_WHITESPACE = 64;
 
 inline bool pl_letter(uint32_t cp) { return g_props[cp] & P_LETTER; }
 inline bool pl_upper(uint32_t cp) { return g_props[cp] & P_UPPER; }
@@ -903,6 +903,216 @@ int64_t tm_nocapcode_decode(const uint8_t* in, int64_t n, uint8_t* out,
   }
   state[2] = del;
   return pos;
+}
+
+
+// ---------------- candidate vocabulary metadata builder ----------------
+//
+// The trainer rebuilds per-token metadata (flags, word counts, ungreedy
+// alternatives, beginByte votes) for every candidate vocabulary each round
+// (trainvocab.go:592-907 duplicates go/tokenmonster.go:3486-3788).  This is
+// the exact same computation as core/tokenmeta.py, in native code.
+
+namespace {
+
+inline uint32_t dec_rune(const uint8_t* p, int64_t rem, int* len) {
+  if (rem <= 0) { *len = 0; return 0xFFFD; }
+  uint32_t cp = dec(p, rem, len);
+  if (cp >= 0x110000) return 0xFFFD;  // invalid byte sentinel -> U+FFFD
+  return cp;
+}
+
+// Go utf8.DecodeLastRune semantics
+inline uint32_t dec_last_rune(const uint8_t* p, int64_t n) {
+  if (n <= 0) return 0xFFFD;
+  if (p[n - 1] < 0x80) return p[n - 1];
+  int64_t start = n - 1;
+  int64_t lim = n - 4 < 0 ? 0 : n - 4;
+  while (start >= lim && (p[start] & 0xC0) == 0x80) start--;
+  if (start < 0 || (p[start] & 0xC0) == 0x80) return 0xFFFD;
+  int l;
+  uint32_t cp = dec_rune(p + start, n - start, &l);
+  if (start + l != n) return 0xFFFD;
+  return cp;
+}
+
+struct MetaCls {
+  int capcode;
+  inline bool letter(uint32_t r) const {
+    uint8_t pr = g_props[r];
+    if ((pr & P_LETTER) && (capcode != 2 || (r != 67 && r != 87 && r != 68)))
+      return true;
+    return (pr & P_MODIFIER) != 0;
+  }
+  inline bool alphanum(uint32_t r) const {
+    uint8_t pr = g_props[r];
+    if ((pr & P_LETTER) && (capcode != 2 || (r != 67 && r != 87 && r != 68)))
+      return true;
+    return (pr & (P_NUMBER | P_MODIFIER)) != 0;
+  }
+  inline bool number(uint32_t r) const { return g_props[r] & P_NUMBER; }
+  inline bool space(uint32_t r) const { return g_props[r] & P_WHITESPACE; }
+  inline bool cap(uint32_t r) const {
+    return (capcode == 1 && r == 0x7F)
+           || (capcode == 2 && (r == 67 || r == 87 || r == 68));
+  }
+};
+
+}  // namespace
+
+// Compute flag/nwords/alt indices/lengths and beginByte for every token.
+// special_mask[i] != 0 marks special tokens (flag 64, no classification).
+// Outputs: flag u8[n], nwords u8[n], index1/index2 u32[n] (DOES_NOT_EXIST
+// when absent), len1/len2 i32[n], begin_byte u8[256].
+void tm_build_meta(const uint8_t* key_bytes, const uint32_t* key_offs,
+                   uint32_t n, int using_capcode,
+                   const uint8_t* special_mask,
+                   uint8_t* flag_out, uint8_t* nwords_out,
+                   uint32_t* index1_out, uint32_t* index2_out,
+                   int32_t* len1_out, int32_t* len2_out,
+                   uint8_t* begin_byte_out) {
+  Dict D;
+  D.build(key_bytes, key_offs, n);
+  MetaCls C{using_capcode};
+  uint32_t begin_counts[256][4] = {};
+  const uint32_t APOSU = 0x27, APOS2U = 0x2019;
+
+  for (uint32_t ti = 0; ti < n; ti++) {
+    const uint8_t* tok = key_bytes + key_offs[ti];
+    int64_t tlen = key_offs[ti + 1] - key_offs[ti];
+    index1_out[ti] = DOES_NOT_EXIST;
+    index2_out[ti] = DOES_NOT_EXIST;
+    len1_out[ti] = 0;
+    len2_out[ti] = 0;
+    nwords_out[ti] = 0;
+    if (special_mask && special_mask[ti]) {
+      flag_out[ti] = 64;
+      continue;
+    }
+    int flag = 0, nwords = 0, min_alt = 1, bucket;
+    int n1, n2;
+    uint32_t r = dec_rune(tok, tlen, &n1);
+    uint32_t r2 = dec_rune(tok + n1, tlen - n1, &n2);
+    if (r == 0x20) {
+      flag = 4;
+      bucket = 0;
+      if (C.alphanum(r2)) { nwords++; min_alt = 2; }
+    } else if (C.letter(r)) {
+      flag = 2;
+      bucket = 1;
+    } else if (C.cap(r)) {
+      if (r == 67 || r == 87) flag = 4;
+      flag |= 16;
+      bucket = 3;
+    } else if (C.number(r)) {
+      bucket = 2;
+    } else {
+      bucket = 3;
+    }
+    bool only_ls = false, only_ns = false, only_p = false;
+    if (tlen == 1) {
+      only_p = true;
+    } else {
+      if ((r == 0x20 || C.letter(r)) && C.letter(r2)) only_ls = true;
+      else if ((r == 0x20 || C.number(r)) && C.number(r2)) only_ns = true;
+      else if (!C.alphanum(r) && !C.alphanum(r2)) only_p = true;
+      uint32_t rr = r, rr2 = r2;
+      int nn2 = n2;
+      for (int64_t i = n1 + n2; i < tlen; i += nn2) {
+        rr = rr2;
+        rr2 = dec_rune(tok + i, tlen - i, &nn2);
+        if (nn2 <= 0) break;
+        if (rr == 0x20 && C.alphanum(rr2)) nwords++;
+        if (C.letter(rr2)) { only_p = false; only_ns = false; }
+        else if (C.number(rr2)) { only_p = false; only_ls = false; }
+        else if (rr2 != 0x20) { only_ls = false; only_ns = false; }
+      }
+    }
+    uint32_t last = dec_last_rune(tok, tlen);
+    if (min_alt == 2 && C.letter(last) && only_ls && nwords == 1) flag |= 32;
+    if (min_alt == 2 && nwords <= 1) min_alt = 1;
+    if (C.cap(last)) flag |= 8;
+    if (C.letter(last)) flag |= 1;
+    if (only_ls || only_ns || only_p) flag |= 128;
+    flag_out[ti] = (uint8_t)flag;
+    nwords_out[ti] = (uint8_t)nwords;
+    begin_counts[tok[0]][bucket]++;
+
+    // hasSuffixPos (go :287-299)
+    int64_t hassuffix = -1;
+    {
+      static const uint8_t s1[] = {0x27, 's'};
+      static const uint8_t s2[] = {0xE2, 0x80, 0x99, 's'};
+      const uint8_t* sufs[2] = {s1, s2};
+      const int64_t suflens[2] = {2, 4};
+      for (int si = 0; si < 2; si++) {
+        int64_t sl = suflens[si];
+        if (tlen > sl && std::memcmp(tok + tlen - sl, sufs[si], sl) == 0) {
+          uint32_t rb = dec_last_rune(tok, tlen - sl);
+          if (C.letter(rb)) { hassuffix = tlen - sl; break; }
+        }
+      }
+    }
+
+    // alternatives (go :3595-3764)
+    uint32_t i1 = DOES_NOT_EXIST, i2v = DOES_NOT_EXIST;
+    int l1 = 0, l2 = 0, p1 = 0, p2 = 0;
+    auto place = [&](int32_t idx, int length, int priority) {
+      if (p1 < p2 || (p1 == p2 && l1 <= l2)) {
+        if (p1 < priority) { i1 = (uint32_t)idx; l1 = length; p1 = priority; }
+      } else {
+        if (p2 < priority) { i2v = (uint32_t)idx; l2 = length; p2 = priority; }
+      }
+    };
+    for (int64_t length = tlen - 1; length >= min_alt; length--) {
+      int32_t idx = D.find(tok, (uint32_t)length);
+      if (idx < 0) continue;
+      if (length <= tlen - 2 && tok[length] == 0x20) {
+        int l_;
+        uint32_t rr = dec_rune(tok + length + 1, tlen - length - 1, &l_);
+        if (C.letter(rr) || C.number(rr)) { place(idx, (int)length, 10); continue; }
+      }
+      uint32_t rA = dec_last_rune(tok, length);
+      int l_;
+      uint32_t rB = dec_rune(tok + length, tlen - length, &l_);
+      if (using_capcode == 0) {
+        if (((!C.letter(rA) && rA != 0x5F) && (C.letter(rB) || rB == 0x5F))
+            || (!C.number(rA) && C.number(rB))) {
+          place(idx, (int)length, 9);
+          continue;
+        }
+      }
+      if (((C.letter(rA) || rA == 0x5F) && (!C.letter(rB) && rB != 0x5F))
+          || (C.number(rA) && !C.number(rB))) {
+        place(idx, (int)length, 9);
+        continue;
+      }
+      if (C.space(rA) && !C.space(rB)) { place(idx, (int)length, 7); continue; }
+      if (!C.space(rA) && C.space(rB)) { place(idx, (int)length, 8); continue; }
+      if (C.cap(rB)) { place(idx, (int)length, 9); continue; }
+      if (length == hassuffix) { place(idx, (int)length, 8); break; }
+      place(idx, (int)length, 1);
+    }
+    if (l2 > 0 && (p2 > p1 || (p2 == p1 && l2 > l1))) {
+      std::swap(i1, i2v);
+      std::swap(l1, l2);
+    }
+    index1_out[ti] = i1;
+    index2_out[ti] = i2v;
+    len1_out[ti] = l1;
+    len2_out[ti] = l2;
+    (void)APOSU; (void)APOS2U;
+  }
+
+  // beginByte vote (go :3779-3788)
+  for (int i = 0; i < 256; i++) {
+    const uint32_t* c = begin_counts[i];
+    uint8_t v = 0;
+    if (c[1] > c[0] && c[1] > c[2] && c[1] > c[3] && c[1] > 2) v = 1;
+    else if (c[0] > c[1] && c[0] > c[2] && c[0] > c[3] && c[0] > 2) v = 12;
+    else if (c[3] > c[0] && c[3] > c[1] && c[3] > c[2] && c[3] > 2) v = 10;
+    begin_byte_out[i] = v;
+  }
 }
 
 }  // extern "C"
