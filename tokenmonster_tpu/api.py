@@ -88,6 +88,7 @@ class Vocab:
         self._refresh()
 
     def _refresh(self):
+        self._native = None  # rebuilt lazily after any modification
         core = self._core
         self.vocab_size = core.vocab_size
         self.charset_code = core.charset
@@ -152,10 +153,24 @@ class Vocab:
     def _ids_dtype(self):
         return np.uint16 if self.encoding_length == 2 else np.uint32
 
+    def _native_vocab(self):
+        if self._native is None:
+            try:
+                from . import native
+                self._native = native.NativeVocab(self._core)
+            except Exception:
+                self._native = False
+        return self._native or None
+
     def _tokenize_one(self, item) -> np.ndarray:
         if isinstance(item, str):
             item = item.encode("utf-8")
-        ids, _missing = self._core.tokenize(item)
+        nv = self._native_vocab()
+        if nv is not None:
+            normalized = self._core.normalize(item)
+            ids, _missing = nv.tokenize(normalized)
+        else:
+            ids, _missing = self._core.tokenize(item)
         return ids.astype(self._ids_dtype())
 
     def tokenize(self, text):
@@ -164,6 +179,13 @@ class Vocab:
                 return None
             return self._tokenize_one(text)
         if _is_iterable(text):
+            # batch items run thread-parallel like the reference server's
+            # per-batch goroutines (tokenmonsterserver.go:364-377); the
+            # native tokenizer releases the GIL inside ctypes calls.
+            if len(text) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=min(8, len(text))) as ex:
+                    return list(ex.map(self._tokenize_one, text))
             return [self._tokenize_one(t) for t in text]
         raise ValueError("Input to tokenize must be a string or a list of strings.")
 

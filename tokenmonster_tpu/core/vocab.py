@@ -850,6 +850,7 @@ class Vocab:
         self.dictionary = dictionary
         if self.reserve == 0:
             self.reserve = display_reserve
+        self._native_handle = None  # rebuilt lazily against the new arrays
 
     def _generate_from_parsed_yaml(self, y, resize: int = 0,
                                    reset_token_ids: bool = False):
@@ -858,11 +859,29 @@ class Vocab:
 
     # ---------- tokenize / decode entry points ----------
 
+    def _native_vocab(self):
+        """Lazily-built native tokenizer handle (None if unavailable).
+
+        Invalidated by _generate; the pure-Python loop in core/tokenizer.py
+        remains the oracle and is used directly by the parity tests."""
+        nv = getattr(self, "_native_handle", None)
+        if nv is None:
+            try:
+                from .. import native
+                nv = native.NativeVocab(self)
+            except Exception:
+                nv = False
+            self._native_handle = nv
+        return nv or None
+
     def tokenize(self, data: bytes):
         from .tokenizer import tokenize as _tokenize
         if self.max_token_length == 0:
             return np.zeros(0, np.uint32), 0
         normalized = self.normalize(data)
+        nv = self._native_vocab()
+        if nv is not None:
+            return nv.tokenize(normalized)
         return _tokenize(self, normalized)
 
     def count(self, data: bytes):
@@ -870,6 +889,10 @@ class Vocab:
         if self.max_token_length == 0:
             return 0, 0
         normalized = self.normalize(data)
+        nv = self._native_vocab()
+        if nv is not None:
+            ids, missing = nv.tokenize(normalized)
+            return len(ids), missing
         return _count(self, normalized)
 
     def tokenize_to_serialized(self, data: bytes, encoding_length: int = 0,

@@ -249,6 +249,19 @@ def train_vocab(dataset: bytes, dictionary_path, results_dir,
     rng = random.Random(cfg.seed)
     os.makedirs(results_dir, exist_ok=True)
 
+    # Resume support (trainvocab.go:1395-1411, 1609-1642): a directory input
+    # picks up its interval_* checkpoint; any saved output (.tok, incl. the
+    # best-score files) is a valid dictionary because all intermediate
+    # formats are identical.
+    if os.path.isdir(dictionary_path):
+        for name in sorted(os.listdir(dictionary_path)):
+            if name.startswith("interval_") and name.endswith(".tok"):
+                dictionary_path = os.path.join(dictionary_path, name)
+                log.info("resuming from interval file %s", dictionary_path)
+                break
+        else:
+            raise FileNotFoundError(f"no interval_*.tok in {dictionary_path}")
+
     dic = load_tokens_file(dictionary_path)
     using_capcode = dic["using_capcode"]
     charset = dic["charset"]
