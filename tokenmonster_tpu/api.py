@@ -132,7 +132,21 @@ class Vocab:
         return self.unk
 
     def get_dictionary(self):
-        return self._core.tokens_detailed()
+        """Dict keyed by token id with keys id/token/token_decoded/type/score
+        (reference python/tokenmonster.py:555-608; type is one of
+        "regular", "single", "special", "unk")."""
+        types = ["regular", "single", "special", "unk"]
+        out = {}
+        for v in self._core.tokens_detailed():
+            out[v["id"]] = {
+                "id": v["id"],
+                "token": v["token"].decode("utf-8", errors="replace"),
+                "token_decoded": v["token_decoded"].decode("utf-8",
+                                                           errors="replace"),
+                "type": types[v["type"]],
+                "score": v["score"],
+            }
+        return out
 
     def id_to_token(self, token_id: int):
         return self._core.id_to_token(int(token_id))
