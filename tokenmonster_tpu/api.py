@@ -149,11 +149,15 @@ class Vocab:
         return out
 
     def id_to_token(self, token_id: int):
-        return self._core.id_to_token(int(token_id))
+        """Token string in capcode-encoded form (reference returns str)."""
+        t = self._core.id_to_token(int(token_id))
+        return None if t is None else t.decode("utf-8", errors="replace")
 
     def id_to_token_decoded(self, token_id: int):
         t = self._core.id_to_token(int(token_id))
-        return None if t is None else self._core.denormalize(t)
+        if t is None:
+            return None
+        return self._core.denormalize(t).decode("utf-8", errors="replace")
 
     def token_to_id(self, token):
         if isinstance(token, str):
