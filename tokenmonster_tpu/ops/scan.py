@@ -102,7 +102,12 @@ def scan_lanes(m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
     primary emitted token ids.  With strip_mode (trainer), every lane is an
     independent strip: it stops exactly at its chunk boundary and the
     lookahead evaluation window ends there too (overlap should be 0 and the
-    match tables strip-local; see parallel/score.py)."""
+    match tables strip-local; see parallel/score.py).
+
+    The six ungreedy branches (go/tokenmonster.go:1075-1210) are evaluated as
+    stacked (3, L) arrays — [greedy, alt1, alt2] x [plain, forward-delete] —
+    with batched gathers, so each step issues a handful of large table
+    lookups instead of ~25 small ones."""
     L = n_lanes
     T = chunk + overlap
     starts = jnp.arange(L, dtype=jnp.int32) * chunk
@@ -110,180 +115,139 @@ def scan_lanes(m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
     eval_end = stops if strip_mode else n
 
     DNE = jnp.uint32(DOES_NOT_EXIST)
-
-    def get_m(p):
-        return jnp.take(m_tab, p)
-
-    def get_mb(p):
-        return jnp.take(mb_tab, p)
-
-    def get_bb(p):
-        return jnp.take(bb, p)
-
-    def meta(idx):
-        v = jnp.take(p1, idx).astype(jnp.int32)
-        return v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, (v >> 24) & 0xFF
-
-    def pair_score(branch_len, ff, nw_adj, second_idx, second_len, end_pos,
-                   is_b, greedy_len, is_alt, valid):
-        """The exact score formula (go/tokenmonster.go:1075-1084)."""
-        sf, snw, _, _ = meta(second_idx)
-        nb = get_bb(end_pos)
-        base = (branch_len
-                + (ff >> 7) + (sf >> 7)
-                + _max0(nw_adj - 1) + _max0(snw - 1)
-                + jnp.where(is_b, 0, (sf >> 2) & 1)
-                + ((nb >> 2) & 1)
-                + (nw_adj + snw + (nb >> 3)) * 100)
-        ded = (jnp.where(is_b, ff & 1, ff & 1 & (sf >> 1)) * 103
-               + ((ff >> 3) & 1 & (sf >> 4)) * 100
-               + (sf & 1 & nb) * 3
-               + jnp.where(is_b, 1, 0))
-        alt_ded = jnp.where(
-            is_alt,
-            jnp.where(branch_len < greedy_len, 100, 0)
-            + jnp.where(branch_len == greedy_len, 10000, 0),
-            0)
-        score = base - ded - alt_ded
-        return jnp.where(valid, score, NEG)
+    NEGS = jnp.int32(NEG)
 
     def step(carry, _):
         pos, fd, done = carry
         safe_pos = jnp.minimum(pos, n)  # padded tables
 
-        m_plain = get_m(safe_pos)
-        mb_here = get_mb(safe_pos) if has_delete else jnp.zeros_like(m_plain)
-        m = jnp.where(fd == 1, mb_here, m_plain)
+        m_plain = jnp.take(m_tab, safe_pos)
+        if has_delete:
+            mb_here = jnp.take(mb_tab, safe_pos)
+            m = jnp.where(fd == 1, mb_here, m_plain)
+        else:
+            m = m_plain
         cur_idx = (m >> 6).astype(jnp.int32)
         cur_len = (m & 63).astype(jnp.int32) - fd
         found = m != 0
 
-        of, onw, olen1, olen2 = meta(cur_idx)
+        # current-token metadata + alternative indices/lengths
+        v = jnp.take(p1, cur_idx).astype(jnp.int32)
+        of, onw = v & 0xFF, (v >> 8) & 0xFF
+        olen1, olen2 = (v >> 16) & 0xFF, (v >> 24) & 0xFF
         oidx1 = jnp.take(index1_t, cur_idx)
         oidx2 = jnp.take(index2_t, cur_idx)
-        oids = jnp.take(ids3, cur_idx, axis=0)  # (L,3) id,id1,id2
+        oids = jnp.take(ids3, cur_idx, axis=0)  # (L, 3) id, id1, id2
 
         i1 = safe_pos + cur_len
-        do_eval = found & (i1 < eval_end) & (((of & 32) == 0) | (get_bb(i1) != 12))
+        do_eval = found & (i1 < eval_end) & (
+            ((of & 32) == 0) | (jnp.take(bb, i1) != 12))
         nw_adj = onw - fd
 
-        # ---- branch 1 (keep greedy) ----
-        m1 = get_m(i1)
-        idxA = (m1 >> 6).astype(jnp.int32)
-        lenA = (m1 & 63).astype(jnp.int32)
-        v1 = do_eval & (m1 != 0)
-        s1 = pair_score(cur_len + lenA, of, nw_adj, idxA, lenA, i1 + lenA,
-                        False, cur_len, False, v1)
-
-        # ---- branch 1b ----
-        if has_delete:
-            sfA, snwA, _, _ = meta(idxA)
-            nbA = get_bb(i1 + lenA)
-            want_b1 = v1 & ((sfA & 2) != 0) & (nbA == 1) & (snwA == 0)
-            mb1 = get_mb(i1)
-            idxAb = (mb1 >> 6).astype(jnp.int32)
-            lenAb_full = (mb1 & 63).astype(jnp.int32)
-            v1b = want_b1 & (lenAb_full > lenA + 1)
-            lenAb = lenAb_full - 1
-            s1b = pair_score(cur_len + lenAb, of, nw_adj, idxAb, lenAb,
-                             i1 + lenAb, True, cur_len, False, v1b)
-        else:
-            idxAb = idxA
-            lenAb = lenA
-            s1b = jnp.full_like(s1, NEG)
-
-        # ---- branch 2 (alt1) ----
+        # ---- stacked branch layout: rows = [greedy, alt1, alt2] ----
         has_alt1 = do_eval & (oidx1 != DNE)
-        alt1_idx = jnp.where(has_alt1, oidx1, 0).astype(jnp.int32)
-        i2 = safe_pos + olen1 - fd
-        i2 = jnp.where(has_alt1, i2, i1)
-        m2 = get_m(i2)
-        idxB = (m2 >> 6).astype(jnp.int32)
-        lenB = (m2 & 63).astype(jnp.int32)
-        v2 = has_alt1 & (m2 != 0)
-        ff1, fnw1, _, _ = meta(alt1_idx)
-        nw1_adj = fnw1 - fd
-        bl2 = olen1 + lenB - fd
-        s2 = pair_score(bl2, ff1, nw1_adj, idxB, lenB, i2 + lenB,
-                        False, cur_len, True, v2)
-
-        if has_delete:
-            sfB, snwB, _, _ = meta(idxB)
-            nbB = get_bb(i2 + lenB)
-            want_b2 = v2 & ((sfB & 2) != 0) & (nbB == 1) & (snwB == 0)
-            mb2 = get_mb(i2)
-            idxBb = (mb2 >> 6).astype(jnp.int32)
-            lenBb_full = (mb2 & 63).astype(jnp.int32)
-            v2b = want_b2 & (lenBb_full > lenB + 1)
-            lenBb = lenBb_full - 1
-            bl2b = olen1 + lenBb - fd
-            s2b = pair_score(bl2b, ff1, nw1_adj, idxBb, lenBb, i2 + lenBb,
-                             True, cur_len, True, v2b)
-        else:
-            idxBb = idxB
-            lenBb = lenB
-            s2b = jnp.full_like(s1, NEG)
-
-        # ---- branch 3 (alt2) ----
         has_alt2 = has_alt1 & (oidx2 != DNE)
+        valid_first = jnp.stack([do_eval, has_alt1, has_alt2])        # (3,L)
+        alt1_idx = jnp.where(has_alt1, oidx1, 0).astype(jnp.int32)
         alt2_idx = jnp.where(has_alt2, oidx2, 0).astype(jnp.int32)
-        i3 = safe_pos + olen2 - fd
-        i3 = jnp.where(has_alt2, i3, i1)
-        m3 = get_m(i3)
-        idxC = (m3 >> 6).astype(jnp.int32)
-        lenC = (m3 & 63).astype(jnp.int32)
-        v3 = has_alt2 & (m3 != 0)
-        ff2, fnw2, _, _ = meta(alt2_idx)
-        nw2_adj = fnw2 - fd
-        bl3 = olen2 + lenC - fd
-        s3 = pair_score(bl3, ff2, nw2_adj, idxC, lenC, i3 + lenC,
-                        False, cur_len, True, v3)
+        first_idx = jnp.stack([cur_idx, alt1_idx, alt2_idx])          # (3,L)
+        first_len = jnp.stack([cur_len, olen1 - fd, olen2 - fd])
+        start3 = jnp.where(valid_first, safe_pos[None, :] + first_len,
+                           i1[None, :])                               # (3,L)
 
+        # batched lookahead matches at the three branch starts
+        m3 = jnp.take(m_tab, start3.reshape(-1)).reshape(3, L)
+        sec_idx = (m3 >> 6).astype(jnp.int32)
+        sec_len = (m3 & 63).astype(jnp.int32)
+        valid_nb = valid_first & (m3 != 0)
         if has_delete:
-            sfC, snwC, _, _ = meta(idxC)
-            nbC = get_bb(i3 + lenC)
-            want_b3 = v3 & ((sfC & 2) != 0) & (nbC == 1) & (snwC == 0)
-            mb3 = get_mb(i3)
-            idxCb = (mb3 >> 6).astype(jnp.int32)
-            lenCb_full = (mb3 & 63).astype(jnp.int32)
-            v3b = want_b3 & (lenCb_full > lenC + 1)
-            lenCb = lenCb_full - 1
-            bl3b = olen2 + lenCb - fd
-            s3b = pair_score(bl3b, ff2, nw2_adj, idxCb, lenCb, i3 + lenCb,
-                             True, cur_len, True, v3b)
+            mb3 = jnp.take(mb_tab, start3.reshape(-1)).reshape(3, L)
+            secb_idx = (mb3 >> 6).astype(jnp.int32)
+            secb_lenf = (mb3 & 63).astype(jnp.int32)  # incl. leading space
         else:
-            idxCb = idxC
-            lenCb = lenC
-            s3b = jnp.full_like(s1, NEG)
+            secb_idx = sec_idx
+            secb_lenf = jnp.zeros_like(sec_len)
 
-        # ---- winner (tie order: s1 > s2 > s3 > s1b > s2b > s3b) ----
-        mx = jnp.maximum(s1, jnp.maximum(
-            s2, jnp.maximum(s3, jnp.maximum(s1b, jnp.maximum(s2b, s3b)))))
-        any_branch = mx != NEG
-        w1 = any_branch & (s1 == mx)
-        w2 = any_branch & ~w1 & (s2 == mx)
-        w3 = any_branch & ~w1 & ~w2 & (s3 == mx)
-        w1b = any_branch & ~w1 & ~w2 & ~w3 & (s1b == mx)
-        w2b = any_branch & ~w1 & ~w2 & ~w3 & ~w1b & (s2b == mx)
-        w3b = any_branch & ~w1 & ~w2 & ~w3 & ~w1b & ~w2b & (s3b == mx)
-        skip = found & ~any_branch  # fast path / nothing found / eval off
+        # batched metadata: first flags (3), second (3), second-b (3)
+        meta_idx = jnp.concatenate(
+            [first_idx.reshape(-1), sec_idx.reshape(-1),
+             secb_idx.reshape(-1)])
+        mv = jnp.take(p1, meta_idx).astype(jnp.int32).reshape(9, L)
+        ff, fsec, fsecb = mv[0:3], mv[3:6], mv[6:9]
+        f_first = ff & 0xFF
+        fnw = (ff >> 8) & 0xFF
+        sf, snw = fsec & 0xFF, (fsec >> 8) & 0xFF
+        sfb, snwb = fsecb & 0xFF, (fsecb >> 8) & 0xFF
 
-        is_b = w1b | w2b | w3b
-        use_alt1 = w2 | w2b
-        use_alt2 = w3 | w3b
+        # batched next-byte classes at the six branch end positions
+        end_nb = start3 + sec_len
+        end_b = start3 + (secb_lenf - 1)
+        nb_all = jnp.take(bb, jnp.concatenate(
+            [end_nb.reshape(-1), end_b.reshape(-1)])).reshape(6, L)
+        nb_nb, nb_b = nb_all[0:3], nb_all[3:6]
 
-        # emitted token: id (w1/w1b/skip), id1 (w2/w2b), id2 (w3/w3b)
-        emit_id = jnp.where(use_alt1, oids[:, 1],
-                            jnp.where(use_alt2, oids[:, 2], oids[:, 0]))
-        # advance
-        adv = jnp.where(use_alt1, olen1 - fd,
-                        jnp.where(use_alt2, olen2 - fd, cur_len))
-        new_pos = safe_pos + jnp.where(found, adv, 1)
+        nw1_adj = jnp.stack([nw_adj, fnw[1] - fd, fnw[2] - fd])       # (3,L)
+        greedy_len = cur_len[None, :]
+        is_alt = jnp.array([0, 1, 1], jnp.int32)[:, None]
+
+        # ---- plain branches (go :1075-1084 exact formula) ----
+        bl_nb = first_len + sec_len
+        base = (bl_nb + (f_first >> 7) + (sf >> 7)
+                + _max0(nw1_adj - 1) + _max0(snw - 1)
+                + ((sf >> 2) & 1) + ((nb_nb >> 2) & 1)
+                + (nw1_adj + snw + (nb_nb >> 3)) * 100)
+        ded = ((f_first & 1 & (sf >> 1)) * 103
+               + ((f_first >> 3) & 1 & (sf >> 4)) * 100
+               + (sf & 1 & nb_nb) * 3
+               + is_alt * (jnp.where(bl_nb < greedy_len, 100, 0)
+                           + jnp.where(bl_nb == greedy_len, 10000, 0)))
+        s_nb = jnp.where(valid_nb, base - ded, NEGS)                  # (3,L)
+
+        # ---- forward-delete branches ----
+        if has_delete:
+            want_b = (valid_nb & ((sf & 2) != 0) & (nb_nb == 1) & (snw == 0)
+                      & (secb_lenf > sec_len + 1))
+            secb_len = secb_lenf - 1
+            bl_b = first_len + secb_len
+            base_b = (bl_b + (f_first >> 7) + (sfb >> 7)
+                      + _max0(nw1_adj - 1) + _max0(snwb - 1)
+                      + ((nb_b >> 2) & 1)
+                      + (nw1_adj + snwb + (nb_b >> 3)) * 100)
+            ded_b = ((f_first & 1) * 103
+                     + ((f_first >> 3) & 1 & (sfb >> 4)) * 100
+                     + (sfb & 1 & nb_b) * 3 + 1
+                     + is_alt * (jnp.where(bl_b < greedy_len, 100, 0)
+                                 + jnp.where(bl_b == greedy_len, 10000, 0)))
+            s_b = jnp.where(want_b, base_b - ded_b, NEGS)             # (3,L)
+        else:
+            secb_len = sec_len
+            s_b = jnp.full_like(s_nb, NEG)
+
+        # ---- winner, tie order s1 > s2 > s3 > s1b > s2b > s3b ----
+        scores6 = jnp.concatenate([s_nb, s_b])                        # (6,L)
+        mx = jnp.max(scores6, axis=0)
+        any_branch = mx != NEGS
+        winner = jnp.argmax((scores6 == mx[None, :]).astype(jnp.int32),
+                            axis=0)                                   # first hit
+        w3 = winner % 3
+        is_b = any_branch & (winner >= 3)
+        lane = jnp.arange(L)
+
+        # emitted token id: id/id1/id2 of the current token by branch row
+        emit_id = oids[lane, w3]
+        adv = first_len[w3, lane]
+        carried_idx = jnp.where(is_b, secb_idx[w3, lane], sec_idx[w3, lane])
+        carried_len = jnp.where(is_b, secb_len[w3, lane], sec_len[w3, lane])
+        _ = (carried_idx, carried_len)  # carried match = fn of (pos, fd)
+
+        new_pos = safe_pos + jnp.where(
+            found, jnp.where(any_branch, adv, cur_len), 1)
         new_fd = jnp.where(is_b, 1, 0)
 
         miss = ~found
         has_tok = (found | (miss & has_unk)) & ~done
-        tok = jnp.where(miss, jnp.uint32(unk_token), emit_id)
+        emit_skip = jnp.where(any_branch, emit_id, oids[:, 0])
+        tok = jnp.where(miss, jnp.uint32(unk_token), emit_skip)
         rec = ((new_pos.astype(jnp.uint32) << 4)
                | (new_fd.astype(jnp.uint32) * _REC_FD)
                | (has_tok.astype(jnp.uint32) * _REC_TOK)
@@ -314,8 +278,8 @@ def scan_lanes(m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
 
     init = (jnp.int32(0), starts, jnp.zeros(L, jnp.int32), starts >= stops,
             recs0, toks0)
-    _, _, _, _, recs, toks = jax.lax.while_loop(cond, body, init)
-    return recs, toks
+    t_final, _, _, _, recs, toks = jax.lax.while_loop(cond, body, init)
+    return recs, toks, t_final
 
 
 _scan_kernel = jax.jit(
@@ -393,11 +357,12 @@ class TpuTokenizer:
         dv = self.dv
         sdfa = dv.space_dfa if dv.space_dfa is not None else dv.main_dfa
         sout = dv.space_out if dv.space_out is not None else dv.main_out
-        recs, toks = self._fused_fn(n_lanes)(
+        recs, toks, t_final = self._fused_fn(n_lanes)(
             jnp.asarray(text), n, dv.main_dfa, dv.main_out, sdfa, sout,
             self._bb_byte, dv.p1, dv.index1, dv.index2, dv.ids)
-        recs = np.asarray(recs)  # (T, L)
-        toks = np.asarray(toks)
+        t_final = int(t_final)
+        recs = np.asarray(recs[:t_final])  # (T_actual, L)
+        toks = np.asarray(toks[:t_final])
         real_lanes = -(-n // chunk)
         return self._stitch(arr, recs.T[:real_lanes], toks.T[:real_lanes],
                             n, chunk, real_lanes)
@@ -405,7 +370,79 @@ class TpuTokenizer:
     # ---- host stitcher ----
 
     def _stitch(self, data, recs, toks, n, chunk, n_lanes):
-        """recs/toks: (L, T).  Returns (ids, missing)."""
+        """recs/toks: (L, T).  Returns (ids, missing).
+
+        Vectorised: junction syncs are found with one batched searchsorted
+        (the first shared emission state is almost always within the first
+        few records of the next lane); the token stream is materialised with
+        global cumsum + scatter.  Junctions that do not sync within the
+        probe window fall back to the exact per-lane two-pointer search."""
+        L, T = recs.shape
+        if L == 1:
+            return self._stitch_slow(data, recs, toks, n, chunk, n_lanes)
+        valid = recs != 0
+        pos = (recs >> 4).astype(np.int64)
+        state = (pos << 1) | (recs & _REC_FD)          # (L, T)
+        lane_ids = np.arange(L, dtype=np.int64)
+        keyed = np.where(valid, (lane_ids[:, None] << 40) | state, np.int64(-1))
+        # per-row valid records are a contiguous prefix (lanes stop emitting
+        # once done), strictly increasing in pos — no compaction needed
+        n_valid = valid.sum(axis=1)
+        keyed_c = keyed
+        row_off = np.arange(L, dtype=np.int64) * T
+        # replace invalid tail with +inf-like keys to keep rows ascending
+        # (valid states are < 2^30, far below the 2^39 sentinel)
+        inf_key = (lane_ids[:, None] << 40) | (np.int64(1) << 39)
+        keyed_sorted = np.where(keyed_c == -1, inf_key, keyed_c)
+        flat_sorted = keyed_sorted.reshape(-1)
+
+        K = 8
+        b_first = keyed_sorted[1:, :K]                 # (L-1, K) queries
+        qvalid = np.arange(K)[None, :] < n_valid[1:, None]
+        # membership of lane l+1's first K states in lane l's records
+        q = (b_first - (np.int64(1) << 40))            # shift to lane l keyspace
+        idx = np.searchsorted(flat_sorted, q.reshape(-1)).reshape(L - 1, K)
+        idx_c = np.minimum(idx, L * T - 1)
+        hit = (flat_sorted[idx_c] == q) & qvalid
+        # exclude hits pointing into the wrong lane row
+        hit &= (idx_c // T) == np.arange(L - 1)[:, None]
+        first_col = np.where(hit.any(axis=1), hit.argmax(axis=1), -1)
+
+        if (first_col < 0).any():
+            return self._stitch_slow(data, recs, toks, n, chunk, n_lanes)
+
+        ar = np.arange(L - 1)
+        sync_idx_a = idx_c[ar, first_col] - row_off[:-1]   # index in lane l
+        # keep ranges: lane 0: [0, sync_0]; lane l: (sync_{l-1 in b}, sync_l]
+        end_rec = np.empty(L, np.int64)
+        end_rec[:-1] = sync_idx_a
+        end_rec[-1] = n_valid[-1] - 1
+        start_rec = np.empty(L, np.int64)
+        start_rec[0] = 0
+        start_rec[1:] = first_col + 1
+
+        t_idx = np.arange(T)[None, :]
+        keep = ((t_idx >= start_rec[:, None]) & (t_idx <= end_rec[:, None])
+                & (t_idx < n_valid[:, None]))
+        recs_c = recs
+        toks_c = toks
+        has_tok = ((recs_c & _REC_TOK) != 0) & keep
+        has_del = ((recs_c & _REC_DEL) != 0) & keep
+        missing = int((((recs_c & _REC_MISS) != 0) & keep).sum())
+        counts = has_tok.astype(np.int64) + has_del.astype(np.int64)
+        flat_counts = counts.reshape(-1)
+        ends = np.cumsum(flat_counts)
+        total_out = int(ends[-1])
+        starts_out = ends - flat_counts
+        out = np.empty(total_out, np.uint32)
+        ht = has_tok.reshape(-1)
+        hd = has_del.reshape(-1)
+        out[starts_out[ht]] = toks_c.reshape(-1)[ht]
+        out[(ends - 1)[hd]] = np.uint32(self.dv.delete_token)
+        return out, missing
+
+    def _stitch_slow(self, data, recs, toks, n, chunk, n_lanes):
+        """Reference per-lane stitcher (exact two-pointer sync search)."""
         out_parts = []
         missing = 0
         delete_token = np.uint32(self.dv.delete_token)

@@ -45,7 +45,7 @@ def _shard_score(text_shard, dfa, dout, sdfa, sout, bb_byte,
         jnp.full(64, bb_byte[0], jnp.int32)])
 
     # phase 2: independent-strip scan (overlap=0: exact per-strip streams)
-    recs, toks = scan_lanes(
+    recs, toks, _t_final = scan_lanes(
         m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
         S, chunk, n_lanes, has_delete, False, delete_token, 0,
         overlap=0, strip_mode=True)
