@@ -10,7 +10,6 @@ Output packing: M[p] = (dict_index << 6) | match_length, 0 = no match.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -22,22 +21,35 @@ from .automaton import ALPHA, RESET
 OVERLAP = 64
 
 
-def match_lanes(dfa, out, rev_padded, chunk: int, n_lanes: int):
+def match_lanes(dfa, out, rev_padded, chunk: int, n_lanes: int,
+                unroll: int = 4):
     """Pure function (composable under jit/shard_map): run the DFA over all
     lanes.  rev_padded: int32[(n_lanes * chunk) + OVERLAP] reversed text with
-    OVERLAP leading RESET sentinels and RESET tail padding."""
+    OVERLAP leading RESET sentinels and RESET tail padding.
+
+    The byte loop is unrolled (``unroll`` bytes per scan iteration) to
+    amortise per-iteration loop overhead; the gathers stay serial (state
+    dependency) but bookkeeping is batched."""
     # lane l consumes rev_padded[l*chunk : l*chunk + OVERLAP + chunk]
     starts = jnp.arange(n_lanes, dtype=jnp.int32) * chunk
     t_steps = OVERLAP + chunk
+    while t_steps % unroll:
+        unroll //= 2
 
-    def step(state, t):
-        c = rev_padded[starts + t]
-        new_state = jnp.take(dfa, state * ALPHA + c).astype(jnp.int32)
-        return new_state, jnp.take(out, new_state)
+    def step(state, t0):
+        outs_u = []
+        for u in range(unroll):
+            c = rev_padded[starts + (t0 + u)]
+            state = jnp.take(dfa, state * ALPHA + c).astype(jnp.int32)
+            outs_u.append(jnp.take(out, state))
+        return state, jnp.stack(outs_u)
 
     init = jnp.zeros(n_lanes, jnp.int32)
-    _, outs = jax.lax.scan(step, init, jnp.arange(t_steps, dtype=jnp.int32))
-    # outs: (T, L); drop warmup rows, transpose to (L, chunk), flatten
+    _, outs = jax.lax.scan(
+        step, init,
+        jnp.arange(0, t_steps, unroll, dtype=jnp.int32))
+    # outs: (T/unroll, unroll, L) -> (T, L); drop warmup, transpose, flatten
+    outs = outs.reshape(t_steps, n_lanes)
     return outs[OVERLAP:].T.reshape(-1)
 
 

@@ -20,7 +20,7 @@ go/tokenmonster.go:1075-1084 / :1217-1262.
 
 from __future__ import annotations
 
-import functools
+
 from dataclasses import dataclass
 
 import jax
@@ -29,7 +29,7 @@ import numpy as np
 
 from ..core.tokenmeta import DOES_NOT_EXIST
 from .automaton import build_match_automata
-from .match import compute_match_table
+
 
 NEG = -1000000
 OVERLAP_SCAN = 128  # bytes a lane scans past its chunk end to find sync

@@ -17,7 +17,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.match import match_strips
 from ..ops.scan import _REC_DEL, _REC_MISS, _REC_TOK, scan_lanes
