@@ -140,6 +140,7 @@ def get_all_tokens(data: bytes, mode, charset: int = 1,
 
     counter = TokenCounter()
     char_table = np.zeros(256, np.int64)
+    filter_cache: dict[bytes, bytes] = {}
 
     if level == 0:
         lengths = range(2, max_token_length + 1)
@@ -162,14 +163,25 @@ def get_all_tokens(data: bytes, mode, charset: int = 1,
                 keys, counts = _unique_substrings(micro, length)
                 if len(keys) == 0:
                     continue
-                for key, count in zip(keys, counts):
-                    raw = key.tobytes()
-                    if level == 0:
+                if level == 0:
+                    for key, count in zip(keys, counts):
+                        raw = key.tobytes()
                         micro_counter[raw] = micro_counter.get(raw, 0) + int(count)
-                    else:
-                        tok, ok = filt(ctx, raw)
-                        if ok and 2 <= len(tok) <= max_token_length:
-                            micro_counter[tok] = micro_counter.get(tok, 0) + int(count)
+                else:
+                    # filter results are pure functions of the substring;
+                    # cache across chunks (text repeats heavily)
+                    cache = filter_cache
+                    get = cache.get
+                    for key, count in zip(keys, counts):
+                        raw = key.tobytes()
+                        hit = get(raw)
+                        if hit is None:
+                            tok, ok = filt(ctx, raw)
+                            hit = tok if (ok and 2 <= len(tok)
+                                          <= max_token_length) else b""
+                            cache[raw] = hit
+                        if hit:
+                            micro_counter[hit] = micro_counter.get(hit, 0) + int(count)
             for k, v in micro_counter.items():
                 counter.add(k, v)
             if micro_chunks > 1 and mi < micro_chunks - 1:
