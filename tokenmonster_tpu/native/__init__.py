@@ -64,6 +64,16 @@ def get_lib():
             lib.tm_tokenize_score.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p]
+            lib.tm_ac_build.restype = ctypes.c_void_p
+            lib.tm_ac_build.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib.tm_ac_states.restype = ctypes.c_uint32
+            lib.tm_ac_states.argtypes = [ctypes.c_void_p]
+            lib.tm_ac_export.restype = None
+            lib.tm_ac_export.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_void_p]
+            lib.tm_ac_free.argtypes = [ctypes.c_void_p]
             lib.tm_build_meta.restype = None
             lib.tm_build_meta.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
@@ -186,6 +196,32 @@ def _add_score_method():
             ctypes.byref(missing))
         return int(n_tokens), int(missing.value)
     NativeVocab.tokenize_score = tokenize_score
+
+
+def native_ac_build(keys: list, indices, lengths):
+    """Build the dense reversed-key AC DFA natively.
+
+    Returns (dfa uint32[n_states*257], out uint32[n_states], n_states) or
+    None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(keys)
+    offs = np.zeros(n + 1, np.uint32)
+    for i, t in enumerate(keys):
+        offs[i + 1] = offs[i] + len(t)
+    blob = np.ascontiguousarray(
+        np.frombuffer(b"".join(keys), np.uint8) if n else np.zeros(0, np.uint8))
+    idx = np.ascontiguousarray(np.asarray(indices, np.uint32))
+    lens = np.ascontiguousarray(np.asarray(lengths, np.uint32))
+    h = lib.tm_ac_build(blob.ctypes.data, offs.ctypes.data, n,
+                        idx.ctypes.data, lens.ctypes.data)
+    n_states = lib.tm_ac_states(h)
+    dfa = np.empty(n_states * 257, np.uint32)
+    out = np.empty(n_states, np.uint32)
+    lib.tm_ac_export(h, dfa.ctypes.data, out.ctypes.data)
+    lib.tm_ac_free(h)
+    return dfa, out, int(n_states)
 
 
 def native_capcode_encode(data: bytes) -> bytes | None:

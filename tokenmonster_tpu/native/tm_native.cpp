@@ -1115,4 +1115,97 @@ void tm_build_meta(const uint8_t* key_bytes, const uint32_t* key_offs,
   }
 }
 
+
+// ---------------- Aho-Corasick DFA builder (ops/automaton.py in native) ----
+//
+// Builds the dense reversed-key AC DFA used by the TPU match kernels.
+// Exact port of MatchAutomaton.build (ops/automaton.py): trie over
+// reversed keys, BFS fail links collapsed into dense rows, per-state
+// deepest-terminal packed outputs; alphabet 257 (byte 256 = reset).
+
+namespace {
+constexpr int AC_ALPHA = 257;
+
+struct AcHandle {
+  std::vector<uint32_t> dfa;   // n_states * AC_ALPHA
+  std::vector<uint32_t> out;   // n_states
+  uint32_t n_states = 0;
+};
+}  // namespace
+
+void* tm_ac_build(const uint8_t* key_bytes, const uint32_t* key_offs,
+                  uint32_t n, const uint32_t* indices,
+                  const uint32_t* lengths) {
+  // trie over reversed keys
+  std::vector<std::vector<std::pair<uint8_t, uint32_t>>> children(1);
+  std::vector<uint32_t> term_idx(1, 0xFFFFFF);
+  std::vector<uint8_t> term_len(1, 0);
+  for (uint32_t i = 0; i < n; i++) {
+    const uint8_t* p = key_bytes + key_offs[i];
+    int64_t len = key_offs[i + 1] - key_offs[i];
+    uint32_t node = 0;
+    for (int64_t j = len - 1; j >= 0; j--) {
+      uint8_t c = p[j];
+      uint32_t nxt = 0;
+      for (auto& kv : children[node]) {
+        if (kv.first == c) { nxt = kv.second; break; }
+      }
+      if (!nxt) {
+        nxt = (uint32_t)children.size();
+        children[node].push_back({c, nxt});
+        children.push_back({});
+        term_idx.push_back(0xFFFFFF);
+        term_len.push_back(0);
+      }
+      node = nxt;
+    }
+    term_idx[node] = indices[i];
+    term_len[node] = (uint8_t)lengths[i];
+  }
+
+  uint32_t n_states = (uint32_t)children.size();
+  AcHandle* h = new AcHandle();
+  h->n_states = n_states;
+  h->dfa.assign((size_t)n_states * AC_ALPHA, 0);
+  h->out.assign(n_states, 0);
+  std::vector<uint32_t> fail(n_states, 0);
+  if (term_len[0] > 0)
+    h->out[0] = (term_idx[0] << 6) | term_len[0];
+
+  std::vector<uint32_t> queue;
+  queue.reserve(n_states);
+  uint32_t* root_row = h->dfa.data();
+  for (auto& kv : children[0]) {
+    root_row[kv.first] = kv.second;
+    fail[kv.second] = 0;
+    queue.push_back(kv.second);
+  }
+  for (size_t qi = 0; qi < queue.size(); qi++) {
+    uint32_t s = queue[qi];
+    uint32_t f = fail[s];
+    h->out[s] = term_len[s] > 0 ? ((term_idx[s] << 6) | term_len[s])
+                                : h->out[f];
+    uint32_t* row = h->dfa.data() + (size_t)s * AC_ALPHA;
+    std::memcpy(row, h->dfa.data() + (size_t)f * AC_ALPHA,
+                AC_ALPHA * sizeof(uint32_t));
+    for (auto& kv : children[s]) {
+      fail[kv.second] = row[kv.first];
+      row[kv.first] = kv.second;
+      queue.push_back(kv.second);
+    }
+    row[256] = 0;  // reset sentinel
+  }
+  return h;
+}
+
+uint32_t tm_ac_states(void* hp) { return ((AcHandle*)hp)->n_states; }
+
+void tm_ac_export(void* hp, uint32_t* dfa_out, uint32_t* out_out) {
+  AcHandle* h = (AcHandle*)hp;
+  std::memcpy(dfa_out, h->dfa.data(), h->dfa.size() * sizeof(uint32_t));
+  std::memcpy(out_out, h->out.data(), h->out.size() * sizeof(uint32_t));
+}
+
+void tm_ac_free(void* hp) { delete (AcHandle*)hp; }
+
 }  // extern "C"

