@@ -1,0 +1,34 @@
+"""UTF-16 charset runtime: host oracle tokenize/decode (charset 2).
+
+The reference training tools exit on UTF-16 (getalltokens.go:1726-1737) but
+the runtime supports UTF-16 vocabularies; so does our host path (the TPU and
+native fast paths are UTF-8/binary only, see COVERAGE.md).
+"""
+
+import numpy as np
+
+from tokenmonster_tpu.core.vocab import Vocab
+
+
+def u16(s: str) -> bytes:
+    return s.encode("utf-16-le")
+
+
+def test_utf16_vocab_roundtrip():
+    toks = [u16(t) for t in ["hello", " hello", "world", " world", "he",
+                             " the", "the", "lo wo"]]
+    singles = [u16(c) for c in "abcdefghijklmnopqrstuvwxyz .!"]
+    v = Vocab()
+    v._generate(tokens=toks + singles, charset=2, normalize_string="none",
+                using_capcode=0, level=5, reset_token_ids=True)
+    assert v.charset == 2
+    text = u16("the quick hello world!")
+    from tokenmonster_tpu.core.tokenizer import tokenize as host_tokenize
+    ids, missing = host_tokenize(v, text)
+    assert missing == 0
+    assert v.decode(ids) == text
+    # streaming decoder buffers incomplete UTF-16 code units
+    d = v.new_decoder()
+    out = b"".join(d.decode(np.asarray([t], np.uint32)) for t in ids)
+    out += d.flush()
+    assert out == text

@@ -455,17 +455,37 @@ def train_vocab(dataset: bytes, dictionary_path, results_dir,
                 jobs.append((single_chars + half2 + special_tokens, 1))
 
         # --- score the candidates (the worker pool) ---
+        # Candidates are evaluated thread-parallel (the C++ scorer releases
+        # the GIL), results processed in submission order so every master
+        # decision is deterministic.
         tokens_to_remove: dict[bytes, int] = {}
         has_tokens_to_remove = False
-        for cand_tokens, work_type in jobs:
+
+        def _evaluate(job):
+            cand_tokens, work_type = job[0], job[1]
+            widx = job[2]
             cand = scorer.build(cand_tokens)
             # the full dataset is used after midway for normal scoring jobs
             # (trainvocab.go:916-922; workType-1 jobs always use strips)
             use_full = (reached_midway and work_type == 0)
-            w = worker_cycle % max(1, len(worker_strips))
+            datasets = [filedata] if use_full else worker_strips[widx]
+            return cand, use_full, scorer.score(cand, datasets)
+
+        jobs_w = []
+        for cand_tokens, work_type in jobs:
+            jobs_w.append((cand_tokens, work_type,
+                           worker_cycle % max(1, len(worker_strips))))
             worker_cycle += 1
-            datasets = [filedata] if use_full else worker_strips[w]
-            scores, tokens_in_text, missing = scorer.score(cand, datasets)
+        if cfg.backend == "native" and len(jobs_w) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(4, len(jobs_w))) as ex:
+                evaluated = list(ex.map(_evaluate, jobs_w))
+        else:
+            evaluated = [_evaluate(j) for j in jobs_w]
+
+        for (cand_tokens, work_type, _w), (cand, use_full, score_result) \
+                in zip(jobs_w, evaluated):
+            scores, tokens_in_text, missing = score_result
             remaining_plus = 0 if reached_vocab else remaining + vocab_diff
             votes = _select_deletions(
                 cand, scores, vocab_size, remaining_plus, midway_target,
