@@ -37,8 +37,12 @@ def load(path, multiprocess_safe: bool = False) -> "Vocab":
     return Vocab(path)
 
 
-def load_multiprocess_safe(path) -> "Vocab":
-    return Vocab(path)
+def load_multiprocess_safe(path):
+    """Load via a shared server subprocess (reference :42-56): the returned
+    RemoteVocab talks the wire protocol, so several processes can share one
+    tokenizer server."""
+    from .client import RemoteVocab
+    return RemoteVocab(Vocab._resolve(path))
 
 
 def new(yml) -> "Vocab":
