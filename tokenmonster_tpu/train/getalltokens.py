@@ -152,7 +152,7 @@ def get_all_tokens(data: bytes, mode, charset: int = 1,
                    chunk_size: int = 100_000_000, micro_chunks: int = 5,
                    only_latin: bool = False, only_valid: bool = False,
                    words_per_token: int = 0, add_extra_tokens: bool = True,
-                   pre_normalized: bool = False):
+                   pre_normalized: bool = False, prefilter_min_raw: int = 1):
     """Run the pipeline; returns (counter, char_table, header dict)."""
     level = {"unfiltered": 0, "clean": 1, "balanced": 2, "consistent": 3,
              "strict": 4}.get(mode, mode)
@@ -207,6 +207,14 @@ def get_all_tokens(data: bytes, mode, charset: int = 1,
                 keys, counts = sw.uniques(length)
                 if len(keys) == 0:
                     continue
+                if prefilter_min_raw > 1 and level != 0:
+                    # prune rare raw substrings before the (expensive) shape
+                    # filter — same information loss class as the reference's
+                    # per-micro-chunk min-occurrence prune
+                    keep_raw = counts >= prefilter_min_raw
+                    keys, counts = keys[keep_raw], counts[keep_raw]
+                    if len(keys) == 0:
+                        continue
                 if level == 0:
                     for key, count in zip(keys, counts):
                         raw = key.tobytes()
