@@ -15,12 +15,24 @@ English/code corpus, reporting the best end-to-end tokenize path:
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+
+# Persistent XLA compilation cache: first-ever compile of the fused kernel
+# through the axon tunnel can take minutes; cached reloads take seconds.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_HERE, ".tmp", "jaxcache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+# Wall-clock budget for the TPU measurement (run in a watchdog subprocess —
+# a cold XLA compile must never starve the bench of its output line).
+TPU_BUDGET_S = int(os.environ.get("TM_BENCH_TPU_BUDGET_S", "330"))
 
 SEED_TEXT = (
     b"The quick brown fox jumps over the lazy dog. Pack my box with five "
@@ -54,6 +66,31 @@ def build_vocab():
     return v
 
 
+def _tpu_child():
+    """Measure the TPU path; prints one JSON line. Run under a watchdog."""
+    corpus = (SEED_TEXT * (CORPUS_MB * MB // len(SEED_TEXT) + 1))[:CORPUS_MB * MB]
+    vocab = build_vocab()
+    out = {}
+    try:
+        from tokenmonster_tpu.ops.scan import TpuTokenizer
+        tk = TpuTokenizer(vocab, chunk=2048)
+        ids_t, missing_t = tk.tokenize(corpus)  # warm (compiles)
+        best_dt = None
+        for _ in range(3):
+            t0 = time.time()
+            ids_t, _m = tk.tokenize(corpus)
+            dt = time.time() - t0
+            if best_dt is None or dt < best_dt:
+                best_dt = dt
+        out["tpu_e2e_bps"] = round(len(corpus) / best_dt)
+        out["tpu_n_tokens"] = int(len(ids_t))
+        import jax
+        out["device"] = str(jax.devices()[0])
+    except Exception as e:  # pragma: no cover
+        out["tpu_error"] = str(e)[:120]
+    print(json.dumps(out), flush=True)
+
+
 def main():
     corpus = (SEED_TEXT * (CORPUS_MB * MB // len(SEED_TEXT) + 1))[:CORPUS_MB * MB]
     vocab = build_vocab()
@@ -83,25 +120,23 @@ def main():
         details["native_error"] = str(e)[:120]
 
     # --- TPU path (fused device kernel + host stitch, exact ids) ---
+    # Run in a subprocess with a hard wall-clock budget: a cold XLA compile
+    # through the device tunnel can take minutes and must not prevent the
+    # bench from printing its result line.
     tpu_bps = 0.0
     try:
-        from tokenmonster_tpu.ops.scan import TpuTokenizer
-        tk = TpuTokenizer(vocab, chunk=2048)
-        ids_t, missing_t = tk.tokenize(corpus)  # warm (compiles)
-        if n_tokens is not None:
-            assert len(ids_t) == n_tokens, "TPU/native token mismatch"
-        best_dt = None
-        for _ in range(3):
-            t0 = time.time()
-            ids_t, _m = tk.tokenize(corpus)
-            dt = time.time() - t0
-            if best_dt is None or dt < best_dt:
-                best_dt = dt
-        tpu_bps = len(corpus) / best_dt
-        n_tokens = int(len(ids_t))
-        details["tpu_e2e_bps"] = round(tpu_bps)
-        import jax
-        details["device"] = str(jax.devices()[0])
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--tpu-child"],
+            capture_output=True, timeout=TPU_BUDGET_S, cwd=_HERE)
+        child = json.loads(proc.stdout.decode().strip().splitlines()[-1])
+        if "tpu_e2e_bps" in child:
+            tpu_bps = float(child["tpu_e2e_bps"])
+            if n_tokens is not None and child.get("tpu_n_tokens"):
+                assert child["tpu_n_tokens"] == n_tokens, \
+                    "TPU/native token mismatch"
+        details.update(child)
+    except subprocess.TimeoutExpired:
+        details["tpu_error"] = f"budget exceeded ({TPU_BUDGET_S}s)"
     except Exception as e:  # pragma: no cover
         details["tpu_error"] = str(e)[:120]
 
@@ -120,4 +155,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--tpu-child" in sys.argv:
+        _tpu_child()
+    else:
+        main()
