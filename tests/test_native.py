@@ -76,3 +76,42 @@ def test_native_tokenize_parity(vocabs):
             got_ids, got_missing = nv.tokenize(data)
             assert got_missing == want_missing
             np.testing.assert_array_equal(got_ids, np.asarray(want_ids))
+
+
+def test_native_sorted_windows_parity():
+    """tm_sorted_windows == the numpy lexsort engine (grouping + LCP), with
+    position-stable order inside equal-window groups."""
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.integers(0, 256, 5000, dtype=np.uint8),
+        rng.integers(97, 101, 5000, dtype=np.uint8),
+        np.frombuffer(b"the cat sat on the mat " * 300, np.uint8),
+        np.zeros(2000, np.uint8),
+    ]
+    width = 41
+    for data in cases:
+        n = len(data) - width
+        built = native.native_sorted_windows(data, n, width)
+        if built is None:
+            return  # no compiler: numpy path is the engine
+        order, fd = built
+        windows = np.lib.stride_tricks.sliding_window_view(data, width)[:n]
+        sw_nat = windows[order]
+        n_words = -(-width // 8)
+        padded = np.zeros(n + n_words * 8, np.uint8)
+        padded[:n + width] = data[:n + width]
+        wide = np.lib.stride_tricks.sliding_window_view(
+            padded, n_words * 8)[:n]
+        words = np.ascontiguousarray(wide).view(">u8").reshape(n, n_words)
+        ref_order = np.lexsort(
+            tuple(words[:, i] for i in range(n_words - 1, -1, -1)))
+        sw_ref = np.ascontiguousarray(windows[ref_order])
+        neq = sw_ref[1:] != sw_ref[:-1]
+        ref_fd = np.where(neq.any(axis=1), neq.argmax(axis=1), width)
+        np.testing.assert_array_equal(sw_nat, sw_ref)
+        np.testing.assert_array_equal(fd, ref_fd)
+        grp_start = np.concatenate([[True], fd < width])
+        gid = np.cumsum(grp_start) - 1
+        for g in range(int(gid[-1]) + 1):
+            seg = order[gid == g].astype(np.int64)
+            assert np.all(np.diff(seg) > 0)

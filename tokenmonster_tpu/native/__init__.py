@@ -82,6 +82,10 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
             lib.tm_set_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                           ctypes.c_void_p]
+            lib.tm_sorted_windows.restype = None
+            lib.tm_sorted_windows.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
             for name in ("tm_capcode_encode", "tm_nocapcode_encode"):
                 fn = getattr(lib, name)
                 fn.restype = ctypes.c_int64
@@ -222,6 +226,28 @@ def native_ac_build(keys: list, indices, lengths):
     lib.tm_ac_export(h, dfa.ctypes.data, out.ctypes.data)
     lib.tm_ac_free(h)
     return dfa, out, int(n_states)
+
+
+def native_sorted_windows(data: np.ndarray, n: int, width: int,
+                          threads: int | None = None):
+    """Order positions 0..n-1 of ``data`` by their width-byte window and
+    return (order uint32[n], first_diff uint8[n-1]) — the bounded suffix
+    sort behind the getalltokens counting engine (tm_sorted_windows).
+    ``data`` is uint8 with at least n + width bytes; returns None if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if threads is None:
+        threads = os.cpu_count() or 1
+    # native packing loads 8-byte words: give it 8 bytes of slack
+    buf = np.zeros(n + width + 8, np.uint8)
+    buf[:min(len(data), n + width)] = data[:n + width]
+    order = np.empty(n, np.uint32)
+    fd = np.empty(max(n - 1, 0), np.uint8)
+    lib.tm_sorted_windows(buf.ctypes.data, n, width, threads,
+                          order.ctypes.data, fd.ctypes.data)
+    return order, fd
 
 
 def native_capcode_encode(data: bytes) -> bytes | None:

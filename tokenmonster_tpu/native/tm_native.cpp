@@ -8,6 +8,7 @@
 //
 // Build: g++ -O3 -fPIC -shared -o tm_native.so tm_native.cpp
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -1196,6 +1197,118 @@ void* tm_ac_build(const uint8_t* key_bytes, const uint32_t* key_offs,
     row[256] = 0;  // reset sentinel
   }
   return h;
+}
+
+// ---------------- sorted-window substring counting ----------------
+// Bounded suffix sort for the getalltokens counting engine
+// (training/getalltokens.go:1120-1157 enumerates all substrings; here one
+// sort of the width-byte windows serves every substring length at once —
+// see train/getalltokens.py::SortedWindows).  Orders positions 0..n-1 by
+// their width-byte window (lexicographic; position as tiebreak, matching a
+// stable sort) and reports the first differing byte column between
+// lexicographic neighbours (LCP capped at width).
+// `data` must have n + width + 8 readable bytes (caller pads).
+void tm_sorted_windows(const uint8_t* data, int64_t n, int32_t width,
+                       int32_t n_threads, uint32_t* order_out,
+                       uint8_t* first_diff_out) {
+  if (n <= 0) return;
+  const int nw = (width + 7) / 8;
+  const uint32_t tail = (uint32_t)width - (uint32_t)(nw - 1) * 8;
+  const uint64_t tmask = Dict::tail_mask(tail);
+  std::vector<uint64_t> packed((size_t)n * nw);
+  if (n_threads < 1) n_threads = 1;
+
+  auto pack_range = [&](int64_t lo, int64_t hi) {
+    for (int64_t p = lo; p < hi; p++) {
+      uint64_t* w = packed.data() + (size_t)p * nw;
+      for (int i = 0; i < nw; i++) w[i] = Dict::loadbe(data + p + i * 8);
+      w[nw - 1] &= tmask;
+    }
+  };
+
+  // stable counting sort by the first two bytes, then per-bucket sorts
+  std::vector<int64_t> bucket_off(65537, 0);
+  for (int64_t p = 0; p < n; p++)
+    bucket_off[(((uint32_t)data[p] << 8) | data[p + 1]) + 1]++;
+  for (int i = 0; i < 65536; i++) bucket_off[i + 1] += bucket_off[i];
+  {
+    std::vector<int64_t> cur(bucket_off.begin(), bucket_off.end() - 1);
+    for (int64_t p = 0; p < n; p++)
+      order_out[cur[((uint32_t)data[p] << 8) | data[p + 1]]++] = (uint32_t)p;
+  }
+
+  auto run = [&](int64_t lo, int64_t hi) { pack_range(lo, hi); };
+  if (n_threads > 1 && n > 1 << 16) {
+    std::vector<std::thread> ts;
+    int64_t step = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int64_t lo = t * step, hi = lo + step < n ? lo + step : n;
+      if (lo < hi) ts.emplace_back(run, lo, hi);
+    }
+    for (auto& t : ts) t.join();
+  } else {
+    run(0, n);
+  }
+
+  auto sort_buckets = [&](int b_lo, int b_hi) {
+    for (int b = b_lo; b < b_hi; b++) {
+      int64_t lo = bucket_off[b], hi = bucket_off[b + 1];
+      if (hi - lo < 2) continue;
+      std::sort(order_out + lo, order_out + hi,
+                [&](uint32_t a, uint32_t c) {
+                  const uint64_t* wa = packed.data() + (size_t)a * nw;
+                  const uint64_t* wc = packed.data() + (size_t)c * nw;
+                  for (int i = 0; i < nw; i++)
+                    if (wa[i] != wc[i]) return wa[i] < wc[i];
+                  return a < c;
+                });
+    }
+  };
+  if (n_threads > 1) {
+    // split bucket ranges by cumulative size for balance
+    std::vector<std::thread> ts;
+    int64_t per = (n + n_threads - 1) / n_threads;
+    int b = 0;
+    for (int t = 0; t < n_threads && b < 65536; t++) {
+      int b_lo = b;
+      int64_t target = bucket_off[b_lo] + per;
+      while (b < 65536 && bucket_off[b + 1] < target) b++;
+      b++;
+      if (b > 65536) b = 65536;
+      ts.emplace_back(sort_buckets, b_lo, b);
+    }
+    for (auto& t : ts) t.join();
+  } else {
+    sort_buckets(0, 65536);
+  }
+
+  // first differing byte column between adjacent sorted windows
+  auto diff_range = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++) {
+      const uint64_t* wa = packed.data() + (size_t)order_out[i] * nw;
+      const uint64_t* wb = packed.data() + (size_t)order_out[i + 1] * nw;
+      int fd = width;
+      for (int k = 0; k < nw; k++) {
+        uint64_t x = wa[k] ^ wb[k];
+        if (x) {
+          fd = k * 8 + (__builtin_clzll(x) >> 3);
+          break;
+        }
+      }
+      first_diff_out[i] = (uint8_t)fd;
+    }
+  };
+  if (n_threads > 1 && n > 1 << 16) {
+    std::vector<std::thread> ts;
+    int64_t m = n - 1, step = (m + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int64_t lo = t * step, hi = lo + step < m ? lo + step : m;
+      if (lo < hi) ts.emplace_back(diff_range, lo, hi);
+    }
+    for (auto& t : ts) t.join();
+  } else {
+    diff_range(0, n - 1);
+  }
 }
 
 uint32_t tm_ac_states(void* hp) { return ((AcHandle*)hp)->n_states; }

@@ -59,21 +59,35 @@ class SortedWindows:
         self.width = width
         if self.n == 0:
             return
-        # lexsort positions by big-endian packed u64 words of the window —
-        # numeric radix sorts beat comparison-sorting 41-byte void keys
-        n_words = -(-width // 8)
-        padded = np.zeros(n + n_words * 8, np.uint8)
-        padded[:len(data[:n + width])] = data[:n + width]
-        wide = np.lib.stride_tricks.sliding_window_view(
-            padded, n_words * 8)[:n]
-        words = np.ascontiguousarray(wide).view(">u8").reshape(n, n_words)
-        order = np.lexsort(tuple(words[:, i] for i in range(n_words - 1, -1, -1)))
+        order = first_diff = None
+        try:
+            from .. import native
+            built = native.native_sorted_windows(data, n, width)
+            if built is not None:
+                order, first_diff = built
+        except Exception:
+            pass
+        if order is None:
+            # numpy fallback: lexsort positions by big-endian packed u64
+            # words of the window — numeric radix sorts beat comparison-
+            # sorting 41-byte void keys
+            n_words = -(-width // 8)
+            padded = np.zeros(n + n_words * 8, np.uint8)
+            padded[:len(data[:n + width])] = data[:n + width]
+            wide = np.lib.stride_tricks.sliding_window_view(
+                padded, n_words * 8)[:n]
+            words = np.ascontiguousarray(wide).view(">u8").reshape(n, n_words)
+            order = np.lexsort(tuple(words[:, i]
+                                     for i in range(n_words - 1, -1, -1)))
         windows = np.lib.stride_tricks.sliding_window_view(data, width)[:n]
         self.sorted_w = np.ascontiguousarray(windows[order])
-        neq = self.sorted_w[1:] != self.sorted_w[:-1]
-        # first mismatching column between adjacent rows; width if identical
-        any_neq = neq.any(axis=1)
-        self.first_diff = np.where(any_neq, neq.argmax(axis=1), width)
+        if first_diff is not None:
+            self.first_diff = first_diff.astype(np.int64)
+        else:
+            neq = self.sorted_w[1:] != self.sorted_w[:-1]
+            # first mismatching column between adjacent rows; width if equal
+            any_neq = neq.any(axis=1)
+            self.first_diff = np.where(any_neq, neq.argmax(axis=1), width)
 
     def uniques(self, length: int):
         """(keys_2d uint8 (U, length), counts int64) for one length."""
