@@ -76,3 +76,34 @@ def test_vocab_resize_and_resurrect():
     v.resize(base)
     assert len(v) == base
     assert v.token_to_id(b"alpha")[1] is True
+
+
+def test_prebuilt_name_registry(tmp_path, monkeypatch):
+    """Published vocab names resolve against the local vocab dir; name
+    validation matches the reference (python/tokenmonster.py:1178-1202)."""
+    import shutil
+    import tokenmonster_tpu as tm
+    assert tm.api.is_prebuilt("englishcode-32000-consistent-v1")
+    assert tm.api.is_prebuilt("english-1024-clean-nocapcode-v2")
+    assert tm.api.is_prebuilt("gpt2")
+    assert tm.api.is_prebuilt("llama")
+    assert not tm.api.is_prebuilt("english-999-clean-v1")
+    assert not tm.api.is_prebuilt("english-1024-clean-nocapcode-x2")
+    assert not tm.api.is_prebuilt("fiction-1024-clean")
+
+    import os
+    src = os.path.join(os.path.dirname(__file__), "..", ".tmp",
+                       "gpt2_bench.vocab")
+    if not os.path.exists(src):
+        import pytest
+        pytest.skip("bench vocab cache not built")
+    shutil.copy(src, tmp_path / "english-1024-clean-v1.vocab")
+    monkeypatch.setenv("TM_VOCAB_DIR", str(tmp_path))
+    v = tm.load("english-1024-clean-v1")
+    assert v.vocab_size > 0
+
+    import pytest
+    with pytest.raises(FileNotFoundError, match="not a local file"):
+        tm.load("no-such-thing")
+    with pytest.raises(FileNotFoundError, match="not cached"):
+        tm.load("fiction-2048-balanced-v9")

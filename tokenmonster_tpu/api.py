@@ -20,6 +20,40 @@ from .core.vocab import Vocab as _CoreVocab
 
 _local_directory = None
 
+# Prebuilt vocabulary registry (reference python/tokenmonster.py:1178-1202,
+# 1300): the published names resolve against the local vocab directory first
+# and are fetched from Hugging Face when the environment has network access.
+_TOKENMONSTER_URL = "https://huggingface.co/alasdairforsythe/tokenmonster/resolve/main/"
+_PREBUILT_DATASETS = ("english", "code", "fiction", "englishcode")
+_PREBUILT_SIZES = ("1024", "2048", "4096", "8000", "12000", "16000",
+                   "24000", "32000", "40000", "50256", "65536", "100256")
+_PREBUILT_MODES = ("unfiltered", "clean", "balanced", "consistent", "strict")
+
+
+def is_prebuilt(name: str) -> bool:
+    """True when ``name`` is a published vocabulary name
+    (reference python/tokenmonster.py:1178-1202)."""
+    if name in ("gpt2", "llama"):
+        return True
+    parts = str(name).split("-")
+    if len(parts) < 4 or len(parts) > 5:
+        return False
+    if parts[0] not in _PREBUILT_DATASETS:
+        return False
+    if parts[1] not in _PREBUILT_SIZES:
+        return False
+    if parts[2] not in _PREBUILT_MODES:
+        return False
+    if len(parts) == 4:
+        return bool(parts[3]) and parts[3][0] == "v"
+    return parts[3] == "nocapcode" and bool(parts[4]) and parts[4][0] == "v"
+
+
+def _vocab_dir() -> str:
+    d = (_local_directory or os.environ.get("TM_VOCAB_DIR")
+         or os.path.join(os.path.expanduser("~"), "_tokenmonster"))
+    return d
+
 
 def set_local_directory(path=None):
     global _local_directory
@@ -105,12 +139,31 @@ class Vocab:
     def _resolve(path):
         if os.path.exists(path):
             return path
-        if _local_directory is not None:
-            candidate = os.path.join(_local_directory, str(path))
+        name = str(path)
+        vdir = _vocab_dir()
+        for candidate in (os.path.join(vdir, name),
+                          os.path.join(vdir, name + ".vocab")):
             if os.path.exists(candidate):
                 return candidate
+        if is_prebuilt(name):
+            fname = name if name.endswith(".vocab") else name + ".vocab"
+            target = os.path.join(vdir, fname)
+            url = _TOKENMONSTER_URL + "vocabs/" + fname
+            try:
+                import urllib.request
+                os.makedirs(vdir, exist_ok=True)
+                with urllib.request.urlopen(url, timeout=10) as r, \
+                        open(target + ".part", "wb") as f:
+                    f.write(r.read())
+                os.replace(target + ".part", target)
+                return target
+            except Exception as e:
+                raise FileNotFoundError(
+                    f"{name}: prebuilt vocabulary not cached at {target} and "
+                    f"download from {url} failed ({e}); place the .vocab "
+                    f"file there or set TM_VOCAB_DIR / set_local_directory()")
         raise FileNotFoundError(
-            f"{path}: prebuilt vocabulary downloads are unavailable offline; "
+            f"{path}: not a local file or known prebuilt vocabulary name; "
             "provide a local .vocab or .yaml file")
 
     # ----- introspection -----
