@@ -32,3 +32,30 @@ def test_utf16_vocab_roundtrip():
     out = b"".join(d.decode(np.asarray([t], np.uint32)) for t in ids)
     out += d.flush()
     assert out == text
+
+
+def test_utf16_tpu_path_parity():
+    """The TPU scan handles charset 2 (lilbufOffset=2 arithmetic,
+    go/tokenmonster.go:1031-1036, :1093): ids match the host oracle."""
+    import random
+
+    from tokenmonster_tpu.core.tokenizer import tokenize as host_tokenize
+    from tokenmonster_tpu.ops.scan import TpuTokenizer
+
+    toks = [u16(t) for t in ["hello", " hello", "world", " world", "he",
+                             " the", "the", "lo wo", " wor", " w", "quick",
+                             " qui", "wor", "ld", " worldly", "ly"]]
+    singles = [u16(c) for c in "abcdefghijklmnopqrstuvwxyz .!"]
+    v = Vocab()
+    v._generate(tokens=toks + singles, charset=2, normalize_string="none",
+                using_capcode=0, level=5, reset_token_ids=True)
+    tk = TpuTokenizer(v, chunk=256)
+    rnd = random.Random(11)
+    words = ["the", "quick", "hello", "world", "he", "lo", "worldly", "ld",
+             "a", "zz"]
+    for _ in range(3):
+        text = u16(" ".join(rnd.choices(words, k=300)) + "!")
+        want, wm = host_tokenize(v, text)
+        got, gm = tk.tokenize(text)
+        assert gm == wm
+        np.testing.assert_array_equal(np.asarray(want), got)

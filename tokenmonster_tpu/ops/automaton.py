@@ -139,12 +139,15 @@ def build_match_automata(vocab):
     """
     keys = vocab.tokens
     main = MatchAutomaton.build(keys, list(range(len(keys))))
+    # the lilbuf space prefix is " " (UTF-8) or " \x00" (UTF-16-LE),
+    # go/tokenmonster.go:1029-1036
+    pre = b" \x00" if vocab.charset == 2 else b" "
     space_keys = []
     space_idx = []
     space_len = []
     for i, k in enumerate(keys):
-        if len(k) >= 2 and k[0] == 0x20:
-            space_keys.append(k[1:])
+        if len(k) > len(pre) and k[:len(pre)] == pre:
+            space_keys.append(k[len(pre):])
             space_idx.append(i)
             space_len.append(len(k))
     space = None

@@ -58,11 +58,10 @@ class DeviceVocab:
     has_unk: bool
     unk_token: int
     max_token_length: int
+    lil_off: int = 1  # lilbufOffset: 2 for UTF-16 (go/tokenmonster.go:1031-1033)
 
     @classmethod
     def build(cls, vocab) -> "DeviceVocab":
-        if vocab.charset == 2:
-            raise NotImplementedError("TPU path supports charset 0/1 (UTF-8)")
         n = len(vocab.tokens)
         p1 = (vocab.flag.astype(np.uint32)
               | (vocab.nwords.astype(np.uint32) << 8)
@@ -85,6 +84,7 @@ class DeviceVocab:
             has_unk=vocab.unk_token != DOES_NOT_EXIST,
             unk_token=int(vocab.unk_token),
             max_token_length=int(vocab.max_token_length),
+            lil_off=2 if vocab.charset == 2 else 1,
         )
 
 
@@ -96,7 +96,8 @@ def scan_lanes(m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
                n, chunk: int, n_lanes: int,
                has_delete: bool, has_unk: bool,
                delete_token: int, unk_token: int,
-               overlap: int = OVERLAP_SCAN, strip_mode: bool = False):
+               overlap: int = OVERLAP_SCAN, strip_mode: bool = False,
+               lil_off: int = 1):
     """Pure function (composable under jit/shard_map): run the automaton on
     every lane.  Returns (rec, tok) of shape (T, L): packed step records and
     primary emitted token ids.  With strip_mode (trainer), every lane is an
@@ -128,7 +129,9 @@ def scan_lanes(m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
         else:
             m = m_plain
         cur_idx = (m >> 6).astype(jnp.int32)
-        cur_len = (m & 63).astype(jnp.int32) - fd
+        # carried b-match lengths have lilbufOffset already applied
+        # (go/tokenmonster.go:1093, 1222)
+        cur_len = (m & 63).astype(jnp.int32) - fd * lil_off
         found = m != 0
 
         # current-token metadata + alternative indices/lengths
@@ -181,7 +184,7 @@ def scan_lanes(m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
 
         # batched next-byte classes at the six branch end positions
         end_nb = start3 + sec_len
-        end_b = start3 + (secb_lenf - 1)
+        end_b = start3 + (secb_lenf - lil_off)
         nb_all = jnp.take(bb, jnp.concatenate(
             [end_nb.reshape(-1), end_b.reshape(-1)])).reshape(6, L)
         nb_nb, nb_b = nb_all[0:3], nb_all[3:6]
@@ -207,7 +210,7 @@ def scan_lanes(m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
         if has_delete:
             want_b = (valid_nb & ((sf & 2) != 0) & (nb_nb == 1) & (snw == 0)
                       & (secb_lenf > sec_len + 1))
-            secb_len = secb_lenf - 1
+            secb_len = secb_lenf - lil_off
             bl_b = first_len + secb_len
             base_b = (bl_b + (f_first >> 7) + (sfb >> 7)
                       + _max0(nw1_adj - 1) + _max0(snwb - 1)
@@ -285,7 +288,8 @@ def scan_lanes(m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
 _scan_kernel = jax.jit(
     scan_lanes,
     static_argnames=("chunk", "n_lanes", "has_delete", "has_unk",
-                     "delete_token", "unk_token", "overlap", "strip_mode"))
+                     "delete_token", "unk_token", "overlap", "strip_mode",
+                     "lil_off"))
 
 
 class TpuTokenizer:
@@ -335,7 +339,7 @@ class TpuTokenizer:
                 m_tab, mb_tab, bb, p1, i1t, i2t, ids3,
                 n, chunk, n_lanes, has_delete,
                 dv.has_unk, dv.delete_token & 0xFFFFFF,
-                dv.unk_token & 0xFFFFFF)
+                dv.unk_token & 0xFFFFFF, lil_off=dv.lil_off)
 
         fn = jax.jit(device_tokenize)
         self._fused[n_lanes] = fn
