@@ -292,9 +292,19 @@ _scan_kernel = jax.jit(
                      "lil_off"))
 
 
+MAX_LANES = 512   # XLA compile time explodes past 512 lanes (measured on
+                  # v5e: 4s at 512 lanes, >570s at 1024) — larger inputs run
+                  # as a sequence of fixed-shape megachunk dispatches.
+MARGIN = 512      # real-data lookahead past a dispatch's exact region: the
+                  # last lane scans OVERLAP_SCAN bytes past its chunk end and
+                  # its matches need up to 2*max_token_length more.
+
+
 class TpuTokenizer:
-    """End-to-end TPU tokenizer for a vocabulary: one fused device dispatch
-    (match tables + ungreedy scan) followed by the host stitcher."""
+    """End-to-end TPU tokenizer for a vocabulary: fixed-shape fused device
+    dispatches (match tables + ungreedy scan) over megachunks of
+    MAX_LANES*chunk bytes, followed by one global host stitch (dispatch
+    joins reconcile exactly like lane joins)."""
 
     def __init__(self, vocab, chunk: int = 2048):
         self.vocab = vocab
@@ -312,11 +322,12 @@ class TpuTokenizer:
         dv = self.dv
         has_delete = dv.has_delete and dv.space_dfa is not None
         match_chunk = 512
-        total = n_lanes * chunk
+        total = n_lanes * chunk + MARGIN  # text buffer incl. margin
 
         def device_tokenize(text, n, dfa, dout, sdfa, sout, bb_byte,
                             p1, i1t, i2t, ids3):
-            # phase 1 (shared lane layout for both automatons)
+            # phase 1 (shared lane layout for both automatons) over the
+            # full buffer incl. margin — margin matches are real data
             m_lanes = total // match_chunk
             rev = jnp.full(total + OVERLAP, RESET, jnp.int32)
             body = jnp.flip(text.astype(jnp.int32))
@@ -345,6 +356,25 @@ class TpuTokenizer:
         self._fused[n_lanes] = fn
         return fn
 
+    def _dispatch(self, sl: np.ndarray, exact: int):
+        """One fused device call over slice ``sl`` whose first ``exact``
+        bytes are this dispatch's exact region (the rest is margin)."""
+        from .match import _bucket
+        chunk = self.chunk
+        dv = self.dv
+        lanes = min(_bucket(-(-exact // chunk)), MAX_LANES)
+        total = lanes * chunk + MARGIN
+        buf = np.zeros(total, np.uint8)
+        n_slice = min(len(sl), total)
+        buf[:n_slice] = sl[:n_slice]
+        sdfa = dv.space_dfa if dv.space_dfa is not None else dv.main_dfa
+        sout = dv.space_out if dv.space_out is not None else dv.main_out
+        recs, toks, t_final = self._fused_fn(lanes)(
+            jnp.asarray(buf), n_slice, dv.main_dfa, dv.main_out, sdfa, sout,
+            self._bb_byte, dv.p1, dv.index1, dv.index2, dv.ids)
+        real_lanes = -(-exact // chunk)
+        return recs, toks, t_final, real_lanes
+
     def tokenize(self, data: bytes):
         """Tokenize normalized+capcoded bytes; returns (ids u32, missing)."""
         vocab = self.vocab
@@ -353,51 +383,77 @@ class TpuTokenizer:
             return np.zeros(0, np.uint32), 0
         arr = np.frombuffer(bytes(data), np.uint8)
         chunk = self.chunk
-        from .match import _bucket
-        n_lanes = _bucket(-(-n // chunk))
-        total = n_lanes * chunk
-        text = np.zeros(total, np.uint8)
-        text[:n] = arr
-        dv = self.dv
-        sdfa = dv.space_dfa if dv.space_dfa is not None else dv.main_dfa
-        sout = dv.space_out if dv.space_out is not None else dv.main_out
-        recs, toks, t_final = self._fused_fn(n_lanes)(
-            jnp.asarray(text), n, dv.main_dfa, dv.main_out, sdfa, sout,
-            self._bb_byte, dv.p1, dv.index1, dv.index2, dv.ids)
+        mega = MAX_LANES * chunk
+
+        pending = []  # (device outputs, real_lanes, global offset)
+        results = []  # (pos64, flags, toks, lane_starts) per dispatch
+        offset = 0
+        while offset < n:
+            exact = min(mega, n - offset)
+            out = self._dispatch(arr[offset:offset + mega + MARGIN], exact)
+            pending.append((out, offset))
+            if len(pending) > 1:
+                results.append(self._materialize(*pending.pop(0)))
+            offset += exact
+        while pending:
+            results.append(self._materialize(*pending.pop(0)))
+
+        t_max = max(r[0].shape[1] for r in results)
+        L_total = sum(r[0].shape[0] for r in results)
+
+        def padded(i, dtype):
+            out = np.zeros((L_total, t_max), dtype)
+            row = 0
+            for r in results:
+                a = r[i]
+                out[row:row + a.shape[0], :a.shape[1]] = a
+                row += a.shape[0]
+            return out
+
+        pos = padded(0, np.int64)
+        flags = padded(1, np.uint8)
+        toks = padded(2, np.uint32)
+        lane_starts = np.concatenate([r[3] for r in results])
+        return self._stitch(arr, pos, flags, toks, n, lane_starts)
+
+    def _materialize(self, out, offset: int):
+        recs, toks, t_final, real_lanes = out
         t_final = int(t_final)
-        recs = np.asarray(recs[:t_final])  # (T_actual, L)
-        toks = np.asarray(toks[:t_final])
-        real_lanes = -(-n // chunk)
-        return self._stitch(arr, recs.T[:real_lanes], toks.T[:real_lanes],
-                            n, chunk, real_lanes)
+        recs = np.asarray(recs[:t_final]).T[:real_lanes]   # (L, T)
+        toks = np.asarray(toks[:t_final]).T[:real_lanes]
+        pos = (recs >> 4).astype(np.int64) + offset
+        flags = (recs & 0xF).astype(np.uint8)
+        pos[flags == 0] = 0
+        lane_starts = (offset
+                       + np.arange(real_lanes, dtype=np.int64) * self.chunk)
+        return pos, flags, toks, lane_starts
 
     # ---- host stitcher ----
 
-    def _stitch(self, data, recs, toks, n, chunk, n_lanes):
-        """recs/toks: (L, T).  Returns (ids, missing).
+    def _stitch(self, data, pos, flags, toks, n, lane_starts):
+        """pos/flags/toks: (L, T) with pos in GLOBAL byte coordinates
+        (lanes from every dispatch concatenated).  Returns (ids, missing).
 
         Vectorised: junction syncs are found with one batched searchsorted
         (the first shared emission state is almost always within the first
         few records of the next lane); the token stream is materialised with
         global cumsum + scatter.  Junctions that do not sync within the
         probe window fall back to the exact per-lane two-pointer search."""
-        L, T = recs.shape
+        L, T = pos.shape
         if L == 1:
-            return self._stitch_slow(data, recs, toks, n, chunk, n_lanes)
-        valid = recs != 0
-        pos = (recs >> 4).astype(np.int64)
-        state = (pos << 1) | (recs & _REC_FD)          # (L, T)
+            return self._stitch_slow(data, pos, flags, toks, n, lane_starts)
+        valid = flags != 0
+        state = (pos << 1) | (flags & _REC_FD)          # (L, T)
         lane_ids = np.arange(L, dtype=np.int64)
-        keyed = np.where(valid, (lane_ids[:, None] << 40) | state, np.int64(-1))
         # per-row valid records are a contiguous prefix (lanes stop emitting
         # once done), strictly increasing in pos — no compaction needed
         n_valid = valid.sum(axis=1)
-        keyed_c = keyed
         row_off = np.arange(L, dtype=np.int64) * T
         # replace invalid tail with +inf-like keys to keep rows ascending
-        # (valid states are < 2^30, far below the 2^39 sentinel)
+        # (valid states are < 2^34, far below the 2^39 sentinel)
         inf_key = (lane_ids[:, None] << 40) | (np.int64(1) << 39)
-        keyed_sorted = np.where(keyed_c == -1, inf_key, keyed_c)
+        keyed_sorted = np.where(valid, (lane_ids[:, None] << 40) | state,
+                                inf_key)
         flat_sorted = keyed_sorted.reshape(-1)
 
         K = 8
@@ -413,7 +469,7 @@ class TpuTokenizer:
         first_col = np.where(hit.any(axis=1), hit.argmax(axis=1), -1)
 
         if (first_col < 0).any():
-            return self._stitch_slow(data, recs, toks, n, chunk, n_lanes)
+            return self._stitch_slow(data, pos, flags, toks, n, lane_starts)
 
         ar = np.arange(L - 1)
         sync_idx_a = idx_c[ar, first_col] - row_off[:-1]   # index in lane l
@@ -428,11 +484,9 @@ class TpuTokenizer:
         t_idx = np.arange(T)[None, :]
         keep = ((t_idx >= start_rec[:, None]) & (t_idx <= end_rec[:, None])
                 & (t_idx < n_valid[:, None]))
-        recs_c = recs
-        toks_c = toks
-        has_tok = ((recs_c & _REC_TOK) != 0) & keep
-        has_del = ((recs_c & _REC_DEL) != 0) & keep
-        missing = int((((recs_c & _REC_MISS) != 0) & keep).sum())
+        has_tok = ((flags & _REC_TOK) != 0) & keep
+        has_del = ((flags & _REC_DEL) != 0) & keep
+        missing = int((((flags & _REC_MISS) != 0) & keep).sum())
         counts = has_tok.astype(np.int64) + has_del.astype(np.int64)
         flat_counts = counts.reshape(-1)
         ends = np.cumsum(flat_counts)
@@ -441,37 +495,33 @@ class TpuTokenizer:
         out = np.empty(total_out, np.uint32)
         ht = has_tok.reshape(-1)
         hd = has_del.reshape(-1)
-        out[starts_out[ht]] = toks_c.reshape(-1)[ht]
+        out[starts_out[ht]] = toks.reshape(-1)[ht]
         out[(ends - 1)[hd]] = np.uint32(self.dv.delete_token)
         return out, missing
 
-    def _stitch_slow(self, data, recs, toks, n, chunk, n_lanes):
+    def _stitch_slow(self, data, pos, flags, toks, n, lane_starts):
         """Reference per-lane stitcher (exact two-pointer sync search)."""
         out_parts = []
         missing = 0
         delete_token = np.uint32(self.dv.delete_token)
+        n_lanes = pos.shape[0]
 
         lane_recs = []
         for l in range(n_lanes):
-            r = recs[l]
-            valid = r != 0
-            r = r[valid]
-            t = toks[l][valid]
-            pos = r >> 4
-            lane_recs.append((r, t, pos))
+            v = flags[l] != 0
+            lane_recs.append((flags[l][v], toks[l][v], pos[l][v]))
 
         # sync_pos[l]: first common (pos, fd) state between lane l-1 and l
         prev_cut = 0  # index into lane 0's records from which output starts
-        cur = 0
         for l in range(n_lanes):
-            r, t, pos = lane_recs[l]
+            f, t, p = lane_recs[l]
             if l + 1 < n_lanes:
-                nr, nt, npos = lane_recs[l + 1]
-                j_next = (l + 1) * chunk
+                nf, nt, np_ = lane_recs[l + 1]
+                j_next = lane_starts[l + 1]
                 # states packed as pos*2+fd
-                a = (pos.astype(np.int64) << 1) | (r & _REC_FD)
-                b = (npos.astype(np.int64) << 1) | (nr & _REC_FD)
-                common = np.intersect1d(a[pos >= j_next], b)
+                a = (p << 1) | (f & _REC_FD)
+                b = (np_ << 1) | (nf & _REC_FD)
+                common = np.intersect1d(a[p >= j_next], b)
                 if len(common) == 0:
                     # pathological junction: fall back to host oracle from
                     # the end of this lane's exact region
@@ -480,13 +530,13 @@ class TpuTokenizer:
                 end_idx = int(np.searchsorted(a, sync, side="right"))
                 start_next = int(np.searchsorted(b, sync, side="right"))
             else:
-                end_idx = len(r)
+                end_idx = len(f)
                 start_next = 0
-            seg_r = r[prev_cut:end_idx]
+            seg_f = f[prev_cut:end_idx]
             seg_t = t[prev_cut:end_idx]
-            has_tok = (seg_r & _REC_TOK) != 0
-            has_del = (seg_r & _REC_DEL) != 0
-            missing += int(((seg_r & _REC_MISS) != 0).sum())
+            has_tok = (seg_f & _REC_TOK) != 0
+            has_del = (seg_f & _REC_DEL) != 0
+            missing += int(((seg_f & _REC_MISS) != 0).sum())
             n_out = int(has_tok.sum() + has_del.sum())
             if n_out:
                 buf = np.empty(n_out, np.uint32)
@@ -497,7 +547,6 @@ class TpuTokenizer:
                 buf[idx[has_del] - 1] = delete_token
                 out_parts.append(buf)
             prev_cut = start_next
-            cur += 1
 
         if out_parts:
             ids = np.concatenate(out_parts)
