@@ -35,12 +35,14 @@ def capcode_vocab():
 
 
 def _assert_parity(vocab, data, chunk):
-    tk = TpuTokenizer(vocab, chunk=chunk)
-    got_ids, got_missing = tk.tokenize(data)
     want_ids, want_missing = host_tokenize(vocab, data)
-    assert got_missing == want_missing, (
-        f"missing mismatch: {got_missing} vs {want_missing}")
-    np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(want_ids))
+    for engine in ("decision", "scan"):
+        tk = TpuTokenizer(vocab, chunk=chunk, engine=engine)
+        got_ids, got_missing = tk.tokenize(data)
+        assert got_missing == want_missing, (
+            f"[{engine}] missing mismatch: {got_missing} vs {want_missing}")
+        np.testing.assert_array_equal(np.asarray(got_ids),
+                                      np.asarray(want_ids))
 
 
 def test_capcode_vocab_parity(capcode_vocab):

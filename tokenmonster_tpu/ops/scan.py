@@ -92,6 +92,158 @@ def _max0(x):
     return jnp.maximum(x, 0)
 
 
+def ungreedy_step(pos, fd, m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
+                  n, eval_end, has_delete: bool, has_unk: bool,
+                  unk_token: int, lil_off: int = 1):
+    """One 6-branch ungreedy decision for every element of ``pos`` given the
+    carried forward-delete state ``fd`` (vector, same shape as pos).
+
+    This is the exact transition function of the reference tokenize loop
+    (go/tokenmonster.go:1048-1277): the automaton state at any emission point
+    is precisely (position, forwardDelete), so this function fully determines
+    both the sequential scan (ops/scan.py) and the position-parallel decision
+    tables (ops/decision.py).
+
+    Returns (new_pos, new_fd, has_tok, is_b, miss, tok):
+      new_pos: next position; new_fd: next forward-delete state
+      has_tok: emits ``tok``; is_b: additionally emits the delete token
+      miss:    no dictionary match at pos (counted; emits unk iff has_unk)
+    """
+    safe_pos = jnp.minimum(pos, n)  # padded tables
+
+    m_plain = jnp.take(m_tab, safe_pos)
+    if has_delete:
+        mb_here = jnp.take(mb_tab, safe_pos)
+        m = jnp.where(fd == 1, mb_here, m_plain)
+    else:
+        m = m_plain
+    cur_idx = (m >> 6).astype(jnp.int32)
+    # carried b-match lengths have lilbufOffset already applied
+    # (go/tokenmonster.go:1093, 1222)
+    cur_len = (m & 63).astype(jnp.int32) - fd * lil_off
+    found = m != 0
+
+    L = pos.shape[0]
+    DNE = jnp.uint32(DOES_NOT_EXIST)
+    NEGS = jnp.int32(NEG)
+
+    # current-token metadata + alternative indices/lengths
+    v = jnp.take(p1, cur_idx).astype(jnp.int32)
+    of, onw = v & 0xFF, (v >> 8) & 0xFF
+    olen1, olen2 = (v >> 16) & 0xFF, (v >> 24) & 0xFF
+    oidx1 = jnp.take(index1_t, cur_idx)
+    oidx2 = jnp.take(index2_t, cur_idx)
+    oids = jnp.take(ids3, cur_idx, axis=0)  # (L, 3) id, id1, id2
+
+    i1 = safe_pos + cur_len
+    do_eval = found & (i1 < eval_end) & (
+        ((of & 32) == 0) | (jnp.take(bb, i1) != 12))
+    nw_adj = onw - fd
+
+    # ---- stacked branch layout: rows = [greedy, alt1, alt2] ----
+    has_alt1 = do_eval & (oidx1 != DNE)
+    has_alt2 = has_alt1 & (oidx2 != DNE)
+    valid_first = jnp.stack([do_eval, has_alt1, has_alt2])        # (3,L)
+    alt1_idx = jnp.where(has_alt1, oidx1, 0).astype(jnp.int32)
+    alt2_idx = jnp.where(has_alt2, oidx2, 0).astype(jnp.int32)
+    first_idx = jnp.stack([cur_idx, alt1_idx, alt2_idx])          # (3,L)
+    first_len = jnp.stack([cur_len, olen1 - fd, olen2 - fd])
+    start3 = jnp.where(valid_first, safe_pos[None, :] + first_len,
+                       i1[None, :])                               # (3,L)
+
+    # batched lookahead matches at the three branch starts
+    m3 = jnp.take(m_tab, start3.reshape(-1)).reshape(3, L)
+    sec_idx = (m3 >> 6).astype(jnp.int32)
+    sec_len = (m3 & 63).astype(jnp.int32)
+    valid_nb = valid_first & (m3 != 0)
+    if has_delete:
+        mb3 = jnp.take(mb_tab, start3.reshape(-1)).reshape(3, L)
+        secb_idx = (mb3 >> 6).astype(jnp.int32)
+        secb_lenf = (mb3 & 63).astype(jnp.int32)  # incl. leading space
+    else:
+        secb_idx = sec_idx
+        secb_lenf = jnp.zeros_like(sec_len)
+
+    # batched metadata: first flags (3), second (3), second-b (3)
+    meta_idx = jnp.concatenate(
+        [first_idx.reshape(-1), sec_idx.reshape(-1),
+         secb_idx.reshape(-1)])
+    mv = jnp.take(p1, meta_idx).astype(jnp.int32).reshape(9, L)
+    ff, fsec, fsecb = mv[0:3], mv[3:6], mv[6:9]
+    f_first = ff & 0xFF
+    fnw = (ff >> 8) & 0xFF
+    sf, snw = fsec & 0xFF, (fsec >> 8) & 0xFF
+    sfb, snwb = fsecb & 0xFF, (fsecb >> 8) & 0xFF
+
+    # batched next-byte classes at the six branch end positions
+    end_nb = start3 + sec_len
+    end_b = start3 + (secb_lenf - lil_off)
+    nb_all = jnp.take(bb, jnp.concatenate(
+        [end_nb.reshape(-1), end_b.reshape(-1)])).reshape(6, L)
+    nb_nb, nb_b = nb_all[0:3], nb_all[3:6]
+
+    nw1_adj = jnp.stack([nw_adj, fnw[1] - fd, fnw[2] - fd])       # (3,L)
+    greedy_len = cur_len[None, :]
+    is_alt = jnp.array([0, 1, 1], jnp.int32)[:, None]
+
+    # ---- plain branches (go :1075-1084 exact formula) ----
+    bl_nb = first_len + sec_len
+    base = (bl_nb + (f_first >> 7) + (sf >> 7)
+            + _max0(nw1_adj - 1) + _max0(snw - 1)
+            + ((sf >> 2) & 1) + ((nb_nb >> 2) & 1)
+            + (nw1_adj + snw + (nb_nb >> 3)) * 100)
+    ded = ((f_first & 1 & (sf >> 1)) * 103
+           + ((f_first >> 3) & 1 & (sf >> 4)) * 100
+           + (sf & 1 & nb_nb) * 3
+           + is_alt * (jnp.where(bl_nb < greedy_len, 100, 0)
+                       + jnp.where(bl_nb == greedy_len, 10000, 0)))
+    s_nb = jnp.where(valid_nb, base - ded, NEGS)                  # (3,L)
+
+    # ---- forward-delete branches ----
+    if has_delete:
+        want_b = (valid_nb & ((sf & 2) != 0) & (nb_nb == 1) & (snw == 0)
+                  & (secb_lenf > sec_len + 1))
+        secb_len = secb_lenf - lil_off
+        bl_b = first_len + secb_len
+        base_b = (bl_b + (f_first >> 7) + (sfb >> 7)
+                  + _max0(nw1_adj - 1) + _max0(snwb - 1)
+                  + ((nb_b >> 2) & 1)
+                  + (nw1_adj + snwb + (nb_b >> 3)) * 100)
+        ded_b = ((f_first & 1) * 103
+                 + ((f_first >> 3) & 1 & (sfb >> 4)) * 100
+                 + (sfb & 1 & nb_b) * 3 + 1
+                 + is_alt * (jnp.where(bl_b < greedy_len, 100, 0)
+                             + jnp.where(bl_b == greedy_len, 10000, 0)))
+        s_b = jnp.where(want_b, base_b - ded_b, NEGS)             # (3,L)
+    else:
+        secb_len = sec_len
+        s_b = jnp.full_like(s_nb, NEG)
+
+    # ---- winner, tie order s1 > s2 > s3 > s1b > s2b > s3b ----
+    scores6 = jnp.concatenate([s_nb, s_b])                        # (6,L)
+    mx = jnp.max(scores6, axis=0)
+    any_branch = mx != NEGS
+    winner = jnp.argmax((scores6 == mx[None, :]).astype(jnp.int32),
+                        axis=0)                                   # first hit
+    w3 = winner % 3
+    is_b = any_branch & (winner >= 3)
+    lane = jnp.arange(L)
+
+    # emitted token id: id/id1/id2 of the current token by branch row
+    emit_id = oids[lane, w3]
+    adv = first_len[w3, lane]
+
+    new_pos = safe_pos + jnp.where(
+        found, jnp.where(any_branch, adv, cur_len), 1)
+    new_fd = jnp.where(is_b, 1, 0)
+
+    miss = ~found
+    has_tok = found | (miss & has_unk)
+    emit_skip = jnp.where(any_branch, emit_id, oids[:, 0])
+    tok = jnp.where(miss, jnp.uint32(unk_token), emit_skip)
+    return new_pos, new_fd, has_tok, is_b, miss, tok
+
+
 def scan_lanes(m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
                n, chunk: int, n_lanes: int,
                has_delete: bool, has_unk: bool,
@@ -115,142 +267,12 @@ def scan_lanes(m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
     stops = jnp.minimum(starts + chunk + overlap, n)
     eval_end = stops if strip_mode else n
 
-    DNE = jnp.uint32(DOES_NOT_EXIST)
-    NEGS = jnp.int32(NEG)
-
     def step(carry, _):
         pos, fd, done = carry
-        safe_pos = jnp.minimum(pos, n)  # padded tables
-
-        m_plain = jnp.take(m_tab, safe_pos)
-        if has_delete:
-            mb_here = jnp.take(mb_tab, safe_pos)
-            m = jnp.where(fd == 1, mb_here, m_plain)
-        else:
-            m = m_plain
-        cur_idx = (m >> 6).astype(jnp.int32)
-        # carried b-match lengths have lilbufOffset already applied
-        # (go/tokenmonster.go:1093, 1222)
-        cur_len = (m & 63).astype(jnp.int32) - fd * lil_off
-        found = m != 0
-
-        # current-token metadata + alternative indices/lengths
-        v = jnp.take(p1, cur_idx).astype(jnp.int32)
-        of, onw = v & 0xFF, (v >> 8) & 0xFF
-        olen1, olen2 = (v >> 16) & 0xFF, (v >> 24) & 0xFF
-        oidx1 = jnp.take(index1_t, cur_idx)
-        oidx2 = jnp.take(index2_t, cur_idx)
-        oids = jnp.take(ids3, cur_idx, axis=0)  # (L, 3) id, id1, id2
-
-        i1 = safe_pos + cur_len
-        do_eval = found & (i1 < eval_end) & (
-            ((of & 32) == 0) | (jnp.take(bb, i1) != 12))
-        nw_adj = onw - fd
-
-        # ---- stacked branch layout: rows = [greedy, alt1, alt2] ----
-        has_alt1 = do_eval & (oidx1 != DNE)
-        has_alt2 = has_alt1 & (oidx2 != DNE)
-        valid_first = jnp.stack([do_eval, has_alt1, has_alt2])        # (3,L)
-        alt1_idx = jnp.where(has_alt1, oidx1, 0).astype(jnp.int32)
-        alt2_idx = jnp.where(has_alt2, oidx2, 0).astype(jnp.int32)
-        first_idx = jnp.stack([cur_idx, alt1_idx, alt2_idx])          # (3,L)
-        first_len = jnp.stack([cur_len, olen1 - fd, olen2 - fd])
-        start3 = jnp.where(valid_first, safe_pos[None, :] + first_len,
-                           i1[None, :])                               # (3,L)
-
-        # batched lookahead matches at the three branch starts
-        m3 = jnp.take(m_tab, start3.reshape(-1)).reshape(3, L)
-        sec_idx = (m3 >> 6).astype(jnp.int32)
-        sec_len = (m3 & 63).astype(jnp.int32)
-        valid_nb = valid_first & (m3 != 0)
-        if has_delete:
-            mb3 = jnp.take(mb_tab, start3.reshape(-1)).reshape(3, L)
-            secb_idx = (mb3 >> 6).astype(jnp.int32)
-            secb_lenf = (mb3 & 63).astype(jnp.int32)  # incl. leading space
-        else:
-            secb_idx = sec_idx
-            secb_lenf = jnp.zeros_like(sec_len)
-
-        # batched metadata: first flags (3), second (3), second-b (3)
-        meta_idx = jnp.concatenate(
-            [first_idx.reshape(-1), sec_idx.reshape(-1),
-             secb_idx.reshape(-1)])
-        mv = jnp.take(p1, meta_idx).astype(jnp.int32).reshape(9, L)
-        ff, fsec, fsecb = mv[0:3], mv[3:6], mv[6:9]
-        f_first = ff & 0xFF
-        fnw = (ff >> 8) & 0xFF
-        sf, snw = fsec & 0xFF, (fsec >> 8) & 0xFF
-        sfb, snwb = fsecb & 0xFF, (fsecb >> 8) & 0xFF
-
-        # batched next-byte classes at the six branch end positions
-        end_nb = start3 + sec_len
-        end_b = start3 + (secb_lenf - lil_off)
-        nb_all = jnp.take(bb, jnp.concatenate(
-            [end_nb.reshape(-1), end_b.reshape(-1)])).reshape(6, L)
-        nb_nb, nb_b = nb_all[0:3], nb_all[3:6]
-
-        nw1_adj = jnp.stack([nw_adj, fnw[1] - fd, fnw[2] - fd])       # (3,L)
-        greedy_len = cur_len[None, :]
-        is_alt = jnp.array([0, 1, 1], jnp.int32)[:, None]
-
-        # ---- plain branches (go :1075-1084 exact formula) ----
-        bl_nb = first_len + sec_len
-        base = (bl_nb + (f_first >> 7) + (sf >> 7)
-                + _max0(nw1_adj - 1) + _max0(snw - 1)
-                + ((sf >> 2) & 1) + ((nb_nb >> 2) & 1)
-                + (nw1_adj + snw + (nb_nb >> 3)) * 100)
-        ded = ((f_first & 1 & (sf >> 1)) * 103
-               + ((f_first >> 3) & 1 & (sf >> 4)) * 100
-               + (sf & 1 & nb_nb) * 3
-               + is_alt * (jnp.where(bl_nb < greedy_len, 100, 0)
-                           + jnp.where(bl_nb == greedy_len, 10000, 0)))
-        s_nb = jnp.where(valid_nb, base - ded, NEGS)                  # (3,L)
-
-        # ---- forward-delete branches ----
-        if has_delete:
-            want_b = (valid_nb & ((sf & 2) != 0) & (nb_nb == 1) & (snw == 0)
-                      & (secb_lenf > sec_len + 1))
-            secb_len = secb_lenf - lil_off
-            bl_b = first_len + secb_len
-            base_b = (bl_b + (f_first >> 7) + (sfb >> 7)
-                      + _max0(nw1_adj - 1) + _max0(snwb - 1)
-                      + ((nb_b >> 2) & 1)
-                      + (nw1_adj + snwb + (nb_b >> 3)) * 100)
-            ded_b = ((f_first & 1) * 103
-                     + ((f_first >> 3) & 1 & (sfb >> 4)) * 100
-                     + (sfb & 1 & nb_b) * 3 + 1
-                     + is_alt * (jnp.where(bl_b < greedy_len, 100, 0)
-                                 + jnp.where(bl_b == greedy_len, 10000, 0)))
-            s_b = jnp.where(want_b, base_b - ded_b, NEGS)             # (3,L)
-        else:
-            secb_len = sec_len
-            s_b = jnp.full_like(s_nb, NEG)
-
-        # ---- winner, tie order s1 > s2 > s3 > s1b > s2b > s3b ----
-        scores6 = jnp.concatenate([s_nb, s_b])                        # (6,L)
-        mx = jnp.max(scores6, axis=0)
-        any_branch = mx != NEGS
-        winner = jnp.argmax((scores6 == mx[None, :]).astype(jnp.int32),
-                            axis=0)                                   # first hit
-        w3 = winner % 3
-        is_b = any_branch & (winner >= 3)
-        lane = jnp.arange(L)
-
-        # emitted token id: id/id1/id2 of the current token by branch row
-        emit_id = oids[lane, w3]
-        adv = first_len[w3, lane]
-        carried_idx = jnp.where(is_b, secb_idx[w3, lane], sec_idx[w3, lane])
-        carried_len = jnp.where(is_b, secb_len[w3, lane], sec_len[w3, lane])
-        _ = (carried_idx, carried_len)  # carried match = fn of (pos, fd)
-
-        new_pos = safe_pos + jnp.where(
-            found, jnp.where(any_branch, adv, cur_len), 1)
-        new_fd = jnp.where(is_b, 1, 0)
-
-        miss = ~found
-        has_tok = (found | (miss & has_unk)) & ~done
-        emit_skip = jnp.where(any_branch, emit_id, oids[:, 0])
-        tok = jnp.where(miss, jnp.uint32(unk_token), emit_skip)
+        new_pos, new_fd, has_tok, is_b, miss, tok = ungreedy_step(
+            pos, fd, m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
+            n, eval_end, has_delete, has_unk, unk_token, lil_off)
+        has_tok = has_tok & ~done
         rec = ((new_pos.astype(jnp.uint32) << 4)
                | (new_fd.astype(jnp.uint32) * _REC_FD)
                | (has_tok.astype(jnp.uint32) * _REC_TOK)
@@ -306,9 +328,13 @@ class TpuTokenizer:
     MAX_LANES*chunk bytes, followed by one global host stitch (dispatch
     joins reconcile exactly like lane joins)."""
 
-    def __init__(self, vocab, chunk: int = 2048):
+    def __init__(self, vocab, chunk: int = 2048, engine: str = "decision"):
+        """engine: "decision" (position-parallel decision tables + chain
+        follow, ops/decision.py — the fast path) or "scan" (sequential
+        6-branch evaluation per lane step).  Both are byte-exact."""
         self.vocab = vocab
         self.chunk = chunk
+        self.engine = engine
         self.dv = DeviceVocab.build(vocab)
         self._bb_byte = jnp.asarray(vocab.begin_byte.astype(np.int32))
         self._fused = {}
@@ -346,6 +372,14 @@ class TpuTokenizer:
             bb = jnp.concatenate([
                 jnp.take(bb_byte, text.astype(jnp.int32)),
                 jnp.full(64, bb_byte[0], jnp.int32)])
+            if self.engine == "decision":
+                from .decision import decision_tables, follow_lanes
+                ctl, tokt = decision_tables(
+                    m_tab, mb_tab, bb, p1, i1t, i2t, ids3, n,
+                    has_delete, dv.has_unk, dv.unk_token & 0xFFFFFF,
+                    lil_off=dv.lil_off)
+                return follow_lanes(ctl, tokt, n, chunk, n_lanes,
+                                    OVERLAP_SCAN)
             return scan_lanes(
                 m_tab, mb_tab, bb, p1, i1t, i2t, ids3,
                 n, chunk, n_lanes, has_delete,
