@@ -8,7 +8,7 @@ tokenmonster.cpp:607-697).  The ``.vocab`` file format depends on this order
 
 This host implementation keeps the exact ordering contract but uses a plain
 hash map + per-first-byte length masks for lookup.  The TPU path uses the
-array-encoded trie built in ops/trie.py instead.
+reversed-key match automaton built in ops/automaton.py instead.
 """
 
 from __future__ import annotations

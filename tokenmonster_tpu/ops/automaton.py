@@ -68,7 +68,11 @@ class MatchAutomaton:
             from .. import native
             built = native.native_ac_build(list(keys), list(indices),
                                            list(lengths))
-        except Exception:
+        except Exception as e:
+            import logging
+            logging.getLogger(__name__).warning(
+                "native tm_ac_build unavailable (%s); falling back to the "
+                "~50x slower Python automaton builder", e)
             built = None
         if built is not None:
             dfa, out, n_states = built
