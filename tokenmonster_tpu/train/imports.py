@@ -71,8 +71,10 @@ def import_gpt2_json(json_path, special_tokens=("<|endoftext|>",),
 
 
 def build_imported_vocab(tokens: list[bytes], ids: list[int],
-                         specials: list[tuple[bytes, int]] = ()) -> Vocab:
-    """Assemble an imported vocabulary: charset utf-8, capcode 0, norm none.
+                         specials: list[tuple[bytes, int]] = (),
+                         normalization: str = "none",
+                         unk_id: int | None = None) -> Vocab:
+    """Assemble an imported vocabulary: charset utf-8, capcode 0.
 
     Uses the same construction path as the YAML importer (exportvocab-style):
     tokens are pre-encoded, ids preserved.
@@ -82,8 +84,11 @@ def build_imported_vocab(tokens: list[bytes], ids: list[int],
     from ..core import yamlio
     y = yamlio.YamlVocab()
     y.charset = "utf-8"
-    y.normalization = "none"
+    y.normalization = normalization
     y.capcode = 0
+    if unk_id is not None:
+        y.unk = True
+        y.unk_id = unk_id
     for tok, tid in zip(tokens, ids):
         item = yamlio.YamlItem()
         item.token = "TokenMonsterHexEncode{%s}" % tok.hex()
@@ -98,6 +103,105 @@ def build_imported_vocab(tokens: list[bytes], ids: list[int],
         y.special.append(item)
     v._generate_from_parsed_yaml(y)
     return v
+
+
+def _pb_varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+
+
+def _pb_fields(buf: bytes):
+    """Iterate (field_no, wire_type, value) over a protobuf message body."""
+    i = 0
+    n = len(buf)
+    while i < n:
+        key, i = _pb_varint(buf, i)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val, i = _pb_varint(buf, i)
+        elif wire == 1:
+            val, i = buf[i:i + 8], i + 8
+        elif wire == 2:
+            ln, i = _pb_varint(buf, i)
+            val, i = buf[i:i + ln], i + ln
+        elif wire == 5:
+            val, i = buf[i:i + 4], i + 4
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wire}")
+        yield field, wire, val
+
+
+# sentencepiece ModelProto.SentencePiece.type values
+SP_NORMAL, SP_UNKNOWN, SP_CONTROL, SP_USER_DEFINED, SP_UNUSED, SP_BYTE = (
+    1, 2, 3, 4, 5, 6)
+
+_SP_HEX = __import__("re").compile(r"^<0x([0-9A-Fa-f]{2})>$")
+
+
+def read_sentencepiece_model(path):
+    """Offline ``tokenizer.model`` (sentencepiece ModelProto) reader.
+
+    No sentencepiece/protobuf dependency: parses the two message levels the
+    import needs — ModelProto.pieces (field 1), SentencePiece.piece/score/
+    type (fields 1/2/3).  Returns a list of (piece_str, score, type) in file
+    order (ids are implicit positions, as in sentencepiece).
+    """
+    import struct
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    pieces = []
+    for field, wire, val in _pb_fields(buf):
+        if field != 1 or wire != 2:
+            continue
+        piece, score, ptype = "", 0.0, SP_NORMAL
+        for f2, w2, v2 in _pb_fields(val):
+            if f2 == 1 and w2 == 2:
+                piece = v2.decode("utf-8", errors="surrogateescape")
+            elif f2 == 2 and w2 == 5:
+                score = struct.unpack("<f", v2)[0]
+            elif f2 == 3 and w2 == 0:
+                ptype = v2
+        pieces.append((piece, score, ptype))
+    return pieces
+
+
+def import_sentencepiece_model(path) -> Vocab:
+    """Build a vocabulary from a real LLaMa ``tokenizer.model`` file,
+    reproducing convert_llamatokenizer.py:9-80 semantics exactly:
+    charset utf-8, capcode 0, normalization leadingspace; ``<0xNN>`` byte
+    pieces decode to raw bytes; '▁' becomes a space; the UNKNOWN piece
+    becomes the unk token; CONTROL pieces (bos/eos) become special tokens.
+    """
+    pieces = read_sentencepiece_model(path)
+    tokens: list[bytes] = []
+    ids: list[int] = []
+    specials: list[tuple[bytes, int]] = []
+    unk_id = None
+    for i, (piece, _score, ptype) in enumerate(pieces):
+        if ptype == SP_UNKNOWN:
+            unk_id = i
+            continue
+        if ptype in (SP_CONTROL, SP_UNUSED):
+            specials.append((piece.encode("utf-8"), i))
+            continue
+        m = _SP_HEX.match(piece)
+        if ptype == SP_BYTE or m:
+            data = bytes([int(m.group(1), 16)]) if m else piece.encode()
+        else:
+            data = piece.replace("▁", " ").encode(
+                "utf-8", errors="surrogateescape")
+        tokens.append(data)
+        ids.append(i)
+    return build_imported_vocab(tokens, ids, specials,
+                                normalization="leadingspace", unk_id=unk_id)
 
 
 def import_sentencepiece_tokens(tokens: list[bytes], ids=None,
