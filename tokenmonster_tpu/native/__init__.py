@@ -63,7 +63,7 @@ def get_lib():
             lib.tm_tokenize_score.restype = ctypes.c_int64
             lib.tm_tokenize_score.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-                ctypes.c_void_p, ctypes.c_void_p]
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
             lib.tm_ac_build.restype = ctypes.c_void_p
             lib.tm_ac_build.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
@@ -187,17 +187,21 @@ class NativeVocab:
 
 
 def _add_score_method():
-    def tokenize_score(self, data: bytes, score_acc: np.ndarray):
+    def tokenize_score(self, data: bytes, score_acc: np.ndarray,
+                       miss_mask: np.ndarray | None = None):
         """Trainer scoring pass: accumulates chars-covered per token id into
-        score_acc (int64, len >= max id + 1).  Returns (tokensInText, missing)."""
+        score_acc (int64, len >= max id + 1).  Returns (tokensInText,
+        missing).  miss_mask (uint8[256], optional) is set at the byte
+        values found at unmatched positions (reference worker semantics)."""
         n = len(data)
         if n == 0:
             return 0, 0
         buf = np.frombuffer(bytes(data), np.uint8)
         missing = ctypes.c_int64(0)
+        mm_ptr = miss_mask.ctypes.data if miss_mask is not None else None
         n_tokens = self._lib.tm_tokenize_score(
             self._handle, buf.ctypes.data, n, score_acc.ctypes.data,
-            ctypes.byref(missing))
+            ctypes.byref(missing), mm_ptr)
         return int(n_tokens), int(missing.value)
     NativeVocab.tokenize_score = tokenize_score
 

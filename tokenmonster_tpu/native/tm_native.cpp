@@ -273,7 +273,8 @@ static int64_t tokenize_impl(const Vocab* v, const uint8_t* data, int64_t n,
                              std::vector<uint64_t>* recs,
                              std::vector<uint32_t>* rec_offs,
                              int64_t* score_acc = nullptr,
-                             int64_t* tokens_count = nullptr) {
+                             int64_t* tokens_count = nullptr,
+                             uint8_t* miss_mask = nullptr) {
   const Dict& D = v->dict;
   int64_t n_out = 0, missing = 0;
 
@@ -314,6 +315,7 @@ static int64_t tokenize_impl(const Vocab* v, const uint8_t* data, int64_t n,
     int lim = (int)((n - i) < max_len ? (n - i) : max_len);
     if (!D.longest(data + i, lim, &index, &length)) {
       if (has_unk) out[n_out++] = v->unk_token;
+      if (miss_mask) miss_mask[data[i]] = 1;
       i++;
       missing++;
       fd = 0;
@@ -481,7 +483,8 @@ static int64_t tokenize_impl(const Vocab* v, const uint8_t* data, int64_t n,
 // (exact trainvocab worker semantics) instead of returning the id stream.
 // Returns tokensInText (tokens + missing bytes, b-branches count 2).
 int64_t tm_tokenize_score(void* vp, const uint8_t* data_in, int64_t n,
-                          int64_t* score_acc, int64_t* missing_out) {
+                          int64_t* score_acc, int64_t* missing_out,
+                          uint8_t* miss_mask) {
   Vocab* v = (Vocab*)vp;
   *missing_out = 0;
   if (n <= 0 || v->max_token_length == 0) return 0;
@@ -490,7 +493,7 @@ int64_t tm_tokenize_score(void* vp, const uint8_t* data_in, int64_t n,
   std::vector<uint32_t> out((size_t)n + 8);
   int64_t n_tokens = 0;
   tokenize_impl(v, buf.data(), n, 0, n, out.data(), missing_out, nullptr,
-                nullptr, score_acc, &n_tokens);
+                nullptr, score_acc, &n_tokens, miss_mask);
   return n_tokens;
 }
 

@@ -108,3 +108,135 @@ def device_tables_for_scoring(vocab):
     return dv, (dv.main_dfa, dv.main_out, sdfa, sout,
                 jnp.asarray(vocab.begin_byte.astype(np.int32)),
                 dv.p1, dv.index1, dv.index2, dv.ids)
+
+
+# ---- exact (decision-equivalent) strip scorer ----------------------------
+#
+# The lane-reset scorer above treats every 2048-byte lane as an independent
+# strip; the reference worker tokenizes each corpus strip *contiguously*
+# (trainvocab.go:924-1176), so votes can differ.  The exact scorer below
+# runs the full chunk-parallel pipeline + device stitch per strip (byte-
+# exact vs the sequential tokenizer) and accumulates chars-covered over the
+# spliced stream — same deletions as the native backend, strip for strip.
+# Distribution model: whole strips are data-parallel across the mesh
+# (mirroring the reference's worker pool); scores/counts/missing-byte masks
+# psum over ICI/DCN.
+
+def _pow2(x: int) -> int:
+    b = 1
+    while b < x:
+        b <<= 1
+    return b
+
+
+def pad_tables_for_scoring(vocab, states_bucket=None, ids_bucket=None):
+    """Device tables padded to pow2 buckets so the jitted scoring step's
+    shapes — and hence its compilation — are stable across candidate
+    vocabularies of similar size (the trainer builds a new candidate every
+    round; an unpadded table shape would force a recompile each time)."""
+    from ..ops.automaton import ALPHA
+    from ..ops.scan import DeviceVocab
+    dv = DeviceVocab.build(vocab)
+
+    def pad_dfa(dfa, out):
+        n_states = out.shape[0]
+        cap = states_bucket or _pow2(n_states)
+        cap = max(cap, n_states)
+        dfa = jnp.concatenate(
+            [dfa, jnp.zeros((cap - n_states) * ALPHA, dfa.dtype)])
+        out = jnp.concatenate([out, jnp.zeros(cap - n_states, out.dtype)])
+        return dfa, out
+
+    mdfa, mout = pad_dfa(dv.main_dfa, dv.main_out)
+    if dv.space_dfa is not None:
+        sdfa, sout = pad_dfa(dv.space_dfa, dv.space_out)
+    else:
+        sdfa, sout = mdfa, mout
+
+    n = dv.p1.shape[0]
+    cap = max(ids_bucket or _pow2(n), n)
+
+    def pad1(a):
+        return jnp.concatenate([a, jnp.zeros(cap - n, a.dtype)])
+
+    p1 = pad1(dv.p1)
+    i1 = pad1(dv.index1)
+    i2 = pad1(dv.index2)
+    ids3 = jnp.concatenate(
+        [dv.ids, jnp.zeros((cap - n, 3), dv.ids.dtype)], axis=0)
+    bb = jnp.asarray(vocab.begin_byte.astype(np.int32))
+    return dv, (mdfa, mout, sdfa, sout, bb, p1, i1, i2, ids3)
+
+
+def exact_score_geometry(max_strip_len: int, chunk: int):
+    """(lanes, dispatches, buffer) for strips up to max_strip_len bytes."""
+    from ..ops.scan import MARGIN, MAX_LANES
+    lanes = max(2, min(MAX_LANES, _pow2(-(-max_strip_len // chunk))))
+    stride = (lanes - 1) * chunk
+    dispatches = max(1, -(-max_strip_len // stride))
+    buf = dispatches * stride + chunk + MARGIN
+    return lanes, dispatches, buf
+
+
+def make_exact_score_step(mesh: Mesh, chunk: int, lanes: int,
+                          dispatches: int, n_ids_cap: int,
+                          has_delete: bool, delete_token: int,
+                          lil_off: int = 1, axis: str = "data",
+                          engine: str = "decision"):
+    """Jitted mesh-sharded exact scorer: one whole strip per device per call.
+
+    step(text (n_dev, B) u8, n (n_dev,) i32, *tables) ->
+      (scores i32[n_ids_cap], n_tokens i32, miss_mask i32[256], sync_ok)
+    all psum/all-reduced over the mesh.
+    """
+    from ..ops.scan import MARGIN, device_pipeline
+    from ..ops.stitch import device_stitch_score
+    stride = (lanes - 1) * chunk
+    total = lanes * chunk + MARGIN
+
+    def one_strip(text, n, dfa, dout, sdfa, sout, bb, p1, i1, i2, ids3):
+        scores = jnp.zeros(n_ids_cap, jnp.int32)
+        n_tok = jnp.int32(0)
+        miss_mask = jnp.zeros(256, jnp.int32)
+        ok = jnp.bool_(True)
+        start0 = jnp.int32(0)
+        for d in range(dispatches):
+            off = d * stride
+            sl = jax.lax.dynamic_slice(text, (off,), (total,))
+            rem = n - off
+            n_slice = jnp.clip(rem, 0, total)
+            exact = jnp.clip(rem, 0, stride)
+            lr = jnp.clip(-(-exact // chunk) - 1, 0, lanes - 1)
+            final_d = rem <= stride
+            recs, toks, _t = device_pipeline(
+                sl, n_slice, dfa, dout, sdfa, sout, bb, p1, i1, i2, ids3,
+                chunk=chunk, n_lanes=lanes, has_delete=has_delete,
+                has_unk=False, delete_token=delete_token, unk_token=0,
+                lil_off=lil_off, engine=engine)
+            s, nt, mm, start_next, sok = device_stitch_score(
+                recs, toks, sl, start0, lr, final_d, n_ids_cap, chunk,
+                delete_token=delete_token)
+            live = rem > 0
+            scores = scores + jnp.where(live, s, 0)
+            n_tok = n_tok + jnp.where(live, nt, 0)
+            miss_mask = miss_mask + jnp.where(live, mm, 0)
+            ok = ok & (sok | ~live)
+            start0 = start_next
+        return scores, n_tok, miss_mask, ok
+
+    def step(text, n, *tables):
+        scores, n_tok, mm, ok = one_strip(text[0], n[0], *tables)
+        return (jax.lax.psum(scores, axis),
+                jax.lax.psum(n_tok, axis),
+                jax.lax.psum(mm, axis),
+                jnp.all(jax.lax.all_gather(ok, axis)))
+
+    spec_text = P(axis, None)
+    spec_n = P(axis)
+    spec_rep = P()
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(spec_text, spec_n) + (spec_rep,) * 9,
+        out_specs=(spec_rep, spec_rep, spec_rep, spec_rep),
+        check_vma=False)
+    return jax.jit(sharded)

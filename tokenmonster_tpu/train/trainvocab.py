@@ -96,14 +96,15 @@ class CandidateScorer:
         if self.backend == "native":
             from .. import native
             nv = native.NativeVocab(cand)
+            mask = np.zeros(256, np.uint8)
             for data in datasets:
-                nt, miss = nv.tokenize_score(data, scores)
+                nt, _miss = nv.tokenize_score(data, scores, mask)
                 tokens_in_text += nt
-                if miss:
-                    ids, _m = nv.tokenize(data)
-                    missing_bytes |= self._find_missing(cand, data)
+            missing_bytes |= {int(b) for b in np.nonzero(mask)[0]}
         elif self.backend == "tpu":
-            tokens_in_text += self._score_tpu(cand, datasets, scores)
+            n_tok, tpu_missing = self._score_tpu(cand, datasets, scores)
+            tokens_in_text += n_tok
+            missing_bytes |= tpu_missing
         else:
             raise ValueError(f"unknown backend {self.backend}")
         return scores[:n_ids], tokens_in_text, missing_bytes
@@ -116,33 +117,63 @@ class CandidateScorer:
         return missing
 
     def _score_tpu(self, cand, datasets, scores):
+        """Exact (decision-equivalent) distributed scoring: whole strips
+        data-parallel over the mesh, chunk-parallel + device-stitched within
+        a strip — byte-exact vs the native contiguous tokenizer, so both
+        backends vote identical deletions.  Returns (n_tokens, missing)."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         from ..parallel.score import (
-            device_tables_for_scoring, make_distributed_score_step)
+            _pow2, exact_score_geometry, make_exact_score_step,
+            pad_tables_for_scoring)
         devices = np.array(jax.devices())
         mesh = Mesh(devices, ("data",))
-        dv, tables = device_tables_for_scoring(cand)
         n_ids = len(cand.reverse)
+        n_ids_cap = _pow2(max(n_ids, 256))
+        dv, tables = pad_tables_for_scoring(cand, ids_bucket=n_ids_cap)
         chunk = 2048
-        total_tokens = 0
-        step = make_distributed_score_step(
-            mesh, chunk, dv.space_dfa is not None, dv.delete_token, n_ids)
+        max_len = max((len(d) for d in datasets), default=1)
+        lanes, dispatches, buf_len = exact_score_geometry(
+            _pow2(max(max_len, chunk)), chunk)
+        step = make_exact_score_step(
+            mesh, chunk, lanes, dispatches, n_ids_cap,
+            dv.space_dfa is not None, dv.delete_token & 0xFFFFFF,
+            lil_off=dv.lil_off)
         rep = NamedSharding(mesh, P())
         tables_dev = tuple(jax.device_put(t, rep) for t in tables)
         n_dev = len(devices)
-        for data in datasets:
-            arr = np.frombuffer(data, np.uint8)
-            per_dev = -(-len(arr) // (chunk * n_dev)) * chunk
-            padded = np.zeros(per_dev * n_dev, np.uint8)
-            padded[:len(arr)] = arr
-            text_dev = jax.device_put(jnp.asarray(padded),
-                                      NamedSharding(mesh, P("data")))
-            s, n_tok, _n_miss = step(text_dev, *tables_dev)
-            scores[:n_ids] += np.asarray(s, np.int64)
+        total_tokens = 0
+        miss_mask = np.zeros(256, np.int64)
+        for g in range(0, len(datasets), n_dev):
+            group = datasets[g:g + n_dev]
+            text = np.zeros((n_dev, buf_len), np.uint8)
+            ns = np.zeros(n_dev, np.int32)
+            for i, d in enumerate(group):
+                a = np.frombuffer(d, np.uint8)
+                text[i, :len(a)] = a
+                ns[i] = len(a)
+            s, n_tok, mm, sync_ok = step(
+                jax.device_put(jnp.asarray(text),
+                               NamedSharding(mesh, P("data", None))),
+                jax.device_put(jnp.asarray(ns),
+                               NamedSharding(mesh, P("data"))),
+                *tables_dev)
+            if not bool(sync_ok):
+                # pathological junction: exact native fallback for this group
+                from .. import native
+                nv = native.NativeVocab(cand)
+                mask = np.zeros(256, np.uint8)
+                for d in group:
+                    nt, _n_miss = nv.tokenize_score(d, scores, mask)
+                    total_tokens += nt
+                miss_mask += mask.astype(np.int64)
+                continue
+            scores[:n_ids] += np.asarray(s, np.int64)[:n_ids]
             total_tokens += int(n_tok)
-        return total_tokens
+            miss_mask += np.asarray(mm, np.int64)
+        missing = {int(b) for b in np.nonzero(miss_mask)[0]}
+        return total_tokens, missing
 
 
 def _worker_divider(remaining, vocab_size, midway_target, fast):
