@@ -11,6 +11,7 @@ uint32 arrays; ``decode`` accepts ints/lists/numpy and returns ``str``.
 
 from __future__ import annotations
 
+import logging
 import os
 
 import numpy as np
@@ -127,6 +128,7 @@ class Vocab:
 
     def _refresh(self):
         self._native = None  # rebuilt lazily after any modification
+        self._tpu = None
         core = self._core
         self.vocab_size = core.vocab_size
         self.charset_code = core.charset
@@ -237,12 +239,38 @@ class Vocab:
                 self._native = False
         return self._native or None
 
+    # inputs at least this large route through the TPU runtime (the device
+    # pipeline amortises dispatch latency; small inputs stay on the native
+    # host tokenizer).  Override with TM_TPU_THRESHOLD; set huge to disable.
+    TPU_THRESHOLD = int(os.environ.get("TM_TPU_THRESHOLD", 1 << 21))
+
+    def _tpu_tokenizer(self):
+        """Lazily-built device tokenizer (None when no accelerator)."""
+        if self._tpu is None:
+            self._tpu = False
+            try:
+                import jax
+                forced = os.environ.get("TM_API_BACKEND") == "tpu"
+                if forced or jax.devices()[0].platform != "cpu":
+                    from .ops.scan import TpuTokenizer
+                    self._tpu = TpuTokenizer(self._core)
+            except Exception:
+                logging.getLogger(__name__).warning(
+                    "TPU tokenizer unavailable; using host paths",
+                    exc_info=True)
+        return self._tpu or None
+
     def _tokenize_one(self, item) -> np.ndarray:
         if isinstance(item, str):
             item = item.encode("utf-8")
+        normalized = self._core.normalize(item)
+        if len(normalized) >= self.TPU_THRESHOLD:
+            tk = self._tpu_tokenizer()
+            if tk is not None:
+                ids, _missing = tk.tokenize(normalized)
+                return ids.astype(self._ids_dtype())
         nv = self._native_vocab()
         if nv is not None:
-            normalized = self._core.normalize(item)
             ids, _missing = nv.tokenize(normalized)
         else:
             ids, _missing = self._core.tokenize(item)
