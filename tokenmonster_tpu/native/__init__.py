@@ -1,8 +1,8 @@
 """ctypes loader/builder for the native host runtime (tm_native.cpp).
 
 Compiled on first use with g++ -O3 and cached next to this package.
-Falls back silently (returns None) when no compiler is available so the
-pure-Python oracle paths keep working.
+Falls back (returns None, with a logged warning) when no compiler is
+available so the pure-Python oracle paths keep working.
 """
 
 from __future__ import annotations
@@ -96,7 +96,11 @@ def get_lib():
                 fn.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                ctypes.c_void_p, ctypes.c_void_p]
             _lib = lib
-        except Exception:
+        except Exception as e:
+            import logging
+            logging.getLogger(__name__).warning(
+                "native tm_native build/load failed (%s); pure-Python "
+                "oracle paths remain functional but are much slower", e)
             _lib = "unavailable"
             return None
         return _lib
