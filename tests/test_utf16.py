@@ -1,8 +1,8 @@
-"""UTF-16 charset runtime: host oracle tokenize/decode (charset 2).
+"""UTF-16 charset runtime parity: host oracle, TPU scan, native C++.
 
 The reference training tools exit on UTF-16 (getalltokens.go:1726-1737) but
-the runtime supports UTF-16 vocabularies; so does our host path (the TPU and
-native fast paths are UTF-8/binary only, see COVERAGE.md).
+the runtime supports UTF-16 vocabularies (lilbufOffset=2 arithmetic,
+go/tokenmonster.go:1031-1036); all three of our runtimes do too.
 """
 
 import numpy as np
@@ -59,3 +59,41 @@ def test_utf16_tpu_path_parity():
         got, gm = tk.tokenize(text)
         assert gm == wm
         np.testing.assert_array_equal(np.asarray(want), got)
+
+
+def test_utf16_native_parity():
+    """The native C++ tokenizer handles charset 2 (lil_off=2 path,
+    native/tm_native.cpp): ids match the host oracle."""
+    import random
+
+    import pytest
+
+    from tokenmonster_tpu import native
+    from tokenmonster_tpu.core.tokenizer import tokenize as host_tokenize
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    toks = [u16(t) for t in ["hello", " hello", "world", " world", "he",
+                             " the", "the", "lo wo", " wor", " w", "quick",
+                             " qui", "wor", "ld", " worldly", "ly"]]
+    singles = [u16(c) for c in "abcdefghijklmnopqrstuvwxyz .!"]
+    v = Vocab()
+    v._generate(tokens=toks + singles, charset=2, normalize_string="none",
+                using_capcode=0, level=5, reset_token_ids=True)
+    nv = native.NativeVocab(v)
+    rnd = random.Random(23)
+    words = ["the", "quick", "hello", "world", "he", "lo", "worldly", "ld",
+             "a", "zz"]
+    for _ in range(4):
+        text = u16(" ".join(rnd.choices(words, k=250)) + "!")
+        want, wm = host_tokenize(v, text)
+        got, gm = nv.tokenize(text)
+        assert gm == wm
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    # multithreaded path too
+    text = u16(" ".join(rnd.choices(words, k=4000)))
+    want, wm = host_tokenize(v, text)
+    got, gm = nv.tokenize(text, threads=3)
+    assert gm == wm
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))

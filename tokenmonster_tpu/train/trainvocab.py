@@ -281,17 +281,23 @@ def train_vocab(dataset: bytes, dictionary_path, results_dir,
     os.makedirs(results_dir, exist_ok=True)
 
     # Resume support (trainvocab.go:1395-1411, 1609-1642): a directory input
-    # picks up its interval_* checkpoint; any saved output (.tok, incl. the
-    # best-score files) is a valid dictionary because all intermediate
-    # formats are identical.
+    # picks up its newest checkpoint — finalrun_* before doublevocab_* before
+    # interval_*, mirroring the reference's scan order.  Any saved output
+    # (.tok, incl. the best-score files) is a valid dictionary because all
+    # intermediate formats are identical.
     if os.path.isdir(dictionary_path):
-        for name in sorted(os.listdir(dictionary_path)):
-            if name.startswith("interval_") and name.endswith(".tok"):
-                dictionary_path = os.path.join(dictionary_path, name)
-                log.info("resuming from interval file %s", dictionary_path)
+        names = sorted(os.listdir(dictionary_path))
+        for prefix in ("finalrun_", "doublevocab_", "interval_"):
+            hits = [n for n in names
+                    if n.startswith(prefix) and n.endswith(".tok")]
+            if hits:
+                dictionary_path = os.path.join(dictionary_path, hits[-1])
+                log.info("resuming from checkpoint %s", dictionary_path)
                 break
         else:
-            raise FileNotFoundError(f"no interval_*.tok in {dictionary_path}")
+            raise FileNotFoundError(
+                f"no finalrun_/doublevocab_/interval_ .tok in "
+                f"{dictionary_path}")
 
     dic = load_tokens_file(dictionary_path)
     using_capcode = dic["using_capcode"]
@@ -424,8 +430,15 @@ def train_vocab(dataset: bytes, dictionary_path, results_dir,
     worker_cycle = 0
 
     def save_checkpoint(name, toks, scores=None):
+        """Write a resumable checkpoint.  The reference saves the master
+        token list together with specials and single-byte tokens
+        (trainvocab.go:2173, 2005, 2082) so that resuming from the file
+        reconstructs the full candidate state — the loader folds dictionary
+        singles back into include_bytes."""
         path = os.path.join(results_dir, name)
-        save_tokens_with_scores(path, header, toks, scores,
+        full = (list(toks) if scores is not None
+                else list(toks) + list(special_tokens) + single_chars)
+        save_tokens_with_scores(path, header, full, scores,
                                 special_tokens if scores is not None else None)
         return path
 
