@@ -73,31 +73,58 @@ def _tpu_child():
       tpu_device_bps — device-resident sustained throughput: input staged in
         HBM, chained dispatches, dense ids left on device.  This is the
         production-representative per-chip rate (a real host feeds chips
-        over PCIe/ICI; this rig's axon tunnel moves ~25 MB/s, so transfers
-        are benched separately).
+        over PCIe/ICI; this rig's axon tunnel adds ~120 ms per host sync,
+        so transfers are benched separately).
       tpu_e2e_bps — full tokenize() including tunnel upload + id download.
+
+    Timing honesty: on the axon tunnel ``jax.block_until_ready`` returns
+    before the device finishes, so every measurement below enqueues its reps
+    and then *fetches a scalar* from the final output — the device stream is
+    ordered, so that fetch bounds the true completion time (it also pays one
+    tunnel round-trip, making the reported rate slightly pessimistic).
+    Per-phase wall-clock marks are reported in the details.
     """
-    corpus = (SEED_TEXT * (CORPUS_MB * MB // len(SEED_TEXT) + 1))[:CORPUS_MB * MB]
-    vocab = build_vocab()
+    t_start = time.time()
     out = {}
+
+    def mark(key):
+        out[key] = round((time.time() - t_start) * 1000)
+
+    corpus = (SEED_TEXT * (CORPUS_MB * MB // len(SEED_TEXT) + 1))[:CORPUS_MB * MB]
     try:
+        import numpy as _np
+
         import jax
         from tokenmonster_tpu.ops.scan import TpuTokenizer
+        mark("t_import_ms")
+        vocab = build_vocab()
+        mark("t_vocab_ms")
         tk = TpuTokenizer(vocab, chunk=2048)
+        mark("t_tables_ms")  # AC automaton build + device upload
         staged = tk.stage(corpus)
-        res = tk.tokenize_staged(staged)  # warm (compiles) + exactness
+        res = tk.tokenize_staged(staged)  # warm: compiles + exactness
+        mark("t_warm_ms")
         assert res is not None, "device stitch failed to sync"
         ids_t, _missing = res
         out["tpu_n_tokens"] = int(len(ids_t))
 
-        # device-resident sustained: chained dispatches, no host transfers
+        # tunnel sync round-trip latency (for interpreting the numbers)
+        z = jax.jit(lambda a: a + 1)(jax.numpy.zeros((8, 128), jax.numpy.int32))
+        _ = float(z[0, 0])
+        t0 = time.time()
+        _ = float(jax.jit(lambda a: a + 2)(z)[0, 0])
+        rtt = time.time() - t0
+        out["tunnel_rtt_ms"] = round(rtt * 1000, 1)
+
+        # device-resident sustained: queued dispatch chains + one scalar fetch
         reps = 4
         t0 = time.time()
         for _ in range(reps):
             outs = tk._run_staged(staged)
-        jax.block_until_ready(outs[-1])
+        _ = [int(o[1]) for o in outs]  # stream-ordered: bounds completion
         dt = (time.time() - t0) / reps
         out["tpu_device_bps"] = round(len(corpus) / dt)
+        mark("t_device_bench_ms")
 
         # end-to-end including tunnel transfers
         best_dt = None
@@ -163,6 +190,28 @@ def main():
         details["tpu_error"] = f"budget exceeded ({TPU_BUDGET_S}s)"
     except Exception as e:  # pragma: no cover
         details["tpu_error"] = str(e)[:120]
+
+    # --- auxiliary reference-table metrics (tokenmonster-cpp/README.md:62-71:
+    # the reference benches tokenize / decode / round-trip separately) ---
+    try:
+        t0 = time.time()
+        norm = vocab.normalizer.normalize(corpus)
+        details["normalize_bps"] = round(len(corpus) / (time.time() - t0))
+        ids_a = np.asarray(ids)
+        t0 = time.time()
+        decoded = vocab.decode(ids_a)
+        details["decode_bps"] = round(len(decoded) / (time.time() - t0))
+        assert decoded == norm[:len(decoded)] or decoded == norm, \
+            "decode round-trip mismatch"
+        # serialized round-trip (16/24/32-bit auto width)
+        t0 = time.time()
+        ser, enc_len, _m = vocab.tokenize_to_serialized(corpus)
+        deser = vocab.deserialize(ser, enc_len)
+        details["serialize_roundtrip_bps"] = round(
+            len(corpus) / (time.time() - t0))
+        assert np.array_equal(np.asarray(deser), ids_a)
+    except Exception as e:  # pragma: no cover
+        details["aux_error"] = str(e)[:120]
 
     value = max(tpu_bps, native_bps)
     details["corpus_bytes"] = len(corpus)

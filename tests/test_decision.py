@@ -18,7 +18,7 @@ from tokenmonster_tpu.ops.scan import DeviceVocab
 from test_scan_parity import ENGLISH, capcode_vocab  # noqa: F401
 
 
-def _tables(vocab, data):
+def _tables(vocab, data, dense=False):
     import tokenmonster_tpu.ops.match as match
     from tokenmonster_tpu.ops.automaton import build_match_automata
 
@@ -40,15 +40,16 @@ def _tables(vocab, data):
     bb = jnp.asarray(np.concatenate([
         vocab.begin_byte.astype(np.int32)[arr],
         np.full(64, int(vocab.begin_byte[0]), np.int32)]))
+    kw = dict(palt=dv.palt, dense_min=0) if dense else {}
     ctl, tok = decision_tables(
         m_tab, mb_tab, bb, dv.p1, dv.index1, dv.index2, dv.ids,
         n, has_delete, dv.has_unk, dv.unk_token & 0xFFFFFF,
-        lil_off=dv.lil_off)
+        lil_off=dv.lil_off, **kw)
     return ctl, tok, dv
 
 
-def _assert_chain_parity(vocab, data):
-    ctl, tok, dv = _tables(vocab, data)
+def _assert_chain_parity(vocab, data, dense=False):
+    ctl, tok, dv = _tables(vocab, data, dense=dense)
     got_ids, got_missing = chain_follow_host(
         ctl, tok, len(data), dv.delete_token & 0xFFFFFF)
     want_ids, want_missing = host_tokenize(vocab, data)
@@ -65,3 +66,16 @@ def test_decision_chain_random(capcode_vocab):  # noqa: F811
     rng = np.random.default_rng(11)
     data = rng.integers(0, 256, size=2000, dtype=np.uint8).tobytes() + ENGLISH
     _assert_chain_parity(capcode_vocab, data)
+
+
+def test_decision_chain_dense_capcode(capcode_vocab):  # noqa: F811
+    """Dense mode (window selects + palt + per-position meta tables) builds
+    byte-identical decision tables — forced on a small buffer."""
+    data = normalize_and_capcode(ENGLISH * 2, 2, capcode_vocab.normalizer)
+    _assert_chain_parity(capcode_vocab, data, dense=True)
+    a, ta, _ = _tables(capcode_vocab, data, dense=False)
+    b, tb, _ = _tables(capcode_vocab, data, dense=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # token words may differ only where ctl has no emission
+    emit = (np.asarray(a) & (1 << 7)) != 0
+    np.testing.assert_array_equal(np.asarray(ta)[emit], np.asarray(tb)[emit])

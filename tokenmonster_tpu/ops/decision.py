@@ -37,21 +37,31 @@ CTL_MISS = 1 << 9
 
 def decision_tables(m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
                     n, has_delete: bool, has_unk: bool, unk_token: int,
-                    lil_off: int = 1):
+                    lil_off: int = 1, palt=None, dense_min: int = 1 << 17):
     """Compute the (2, P) decision tables over all positions.
 
     P = len(m_tab) (the match tables' padded length).  Row 0 is the fd=0
     transition, row 1 the fd=1 transition (identical to row 0 when the
     vocabulary has no delete token).  Returns (ctl, tok), both u32[2, P].
+
+    With ``palt`` (the precomputed alternative-token flag/nwords pack from
+    DeviceVocab), the transition function runs in dense mode: bounded-offset
+    lookups become gatherless window selects and per-token metadata needs
+    only ~4 gathers/position instead of ~25 (see scan.ungreedy_step).
+    Dense mode engages only for buffers >= ``dense_min`` positions: its
+    wide select trees pay off on production-size dispatches but slow the
+    (CPU-backend) compile of the tiny buffers used in tests.
     """
     P = m_tab.shape[0]
     pos = jnp.arange(P, dtype=jnp.int32)
+    dense = palt is not None and P >= dense_min
 
     def one(fd_val: int):
         fd = jnp.full((P,), fd_val, jnp.int32)
         new_pos, new_fd, has_tok, is_b, miss, tok = ungreedy_step(
             pos, fd, m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
-            n, n, has_delete, has_unk, unk_token, lil_off)
+            n, n, has_delete, has_unk, unk_token, lil_off,
+            palt=palt, dense=dense)
         delta = jnp.clip(new_pos - jnp.minimum(pos, n), 1, 63)
         ctl = (delta.astype(jnp.uint32)
                | (new_fd.astype(jnp.uint32) << 6)

@@ -45,6 +45,10 @@ _REC_MISS = 8
 class DeviceVocab:
     """Device-resident arrays for the TPU tokenizer, built from a Vocab."""
     p1: jnp.ndarray          # flag | nwords<<8 | len1<<16 | len2<<24 (u32)
+    palt: jnp.ndarray        # aflag1 | anw1<<8 | aflag2<<16 | anw2<<24 (u32):
+                             # flag/nwords of the two alternative tokens,
+                             # precomputed so the decision engine needs no
+                             # per-position gathers for them
     index1: jnp.ndarray      # alt1 dict index (u32, DNE sentinel)
     index2: jnp.ndarray
     ids: jnp.ndarray         # id, id1, id2 packed as (n,3) u32
@@ -67,10 +71,19 @@ class DeviceVocab:
               | (vocab.nwords.astype(np.uint32) << 8)
               | (vocab.len1.astype(np.uint32) << 16)
               | (vocab.len2.astype(np.uint32) << 24))
+        i1c = np.minimum(vocab.index1.astype(np.int64), max(n - 1, 0))
+        i2c = np.minimum(vocab.index2.astype(np.int64), max(n - 1, 0))
+        has1 = vocab.len1 > 0
+        has2 = vocab.len2 > 0
+        palt = (np.where(has1, vocab.flag[i1c], 0).astype(np.uint32)
+                | (np.where(has1, vocab.nwords[i1c], 0).astype(np.uint32) << 8)
+                | (np.where(has2, vocab.flag[i2c], 0).astype(np.uint32) << 16)
+                | (np.where(has2, vocab.nwords[i2c], 0).astype(np.uint32) << 24))
         ids = np.stack([vocab.id, vocab.id1, vocab.id2], axis=1).astype(np.uint32)
         main, space = build_match_automata(vocab)
         return cls(
             p1=jnp.asarray(p1),
+            palt=jnp.asarray(palt),
             index1=jnp.asarray(vocab.index1),
             index2=jnp.asarray(vocab.index2),
             ids=jnp.asarray(ids),
@@ -92,9 +105,32 @@ def _max0(x):
     return jnp.maximum(x, 0)
 
 
+def _win_cases(tab, width: int):
+    """Static window slices tab[k:k+P] for k in [0, width): the gatherless
+    form of bounded-offset lookups tab[pos + delta] when pos == arange(P).
+    XLA fuses the whole select tree into one pass over the views, so a
+    window lookup costs ~width reads/element instead of a scalar gather
+    (~60-110M/s platform-wide on this TPU)."""
+    P = tab.shape[0]
+    # pad with the last element — jnp.take clamps out-of-range indices, so
+    # the window form must read the same value past the end
+    ext = jnp.concatenate([tab, jnp.full((width,), tab[-1], tab.dtype)])
+    return [ext[k:k + P] for k in range(width)]
+
+
+def _win_take(cases, delta):
+    """Lookup tab[pos + delta[..., pos]] via lax.select_n over the window."""
+    d = jnp.clip(delta, 0, len(cases) - 1).astype(jnp.int32)
+    if d.ndim == 1:
+        return jax.lax.select_n(d, *cases)
+    return jnp.stack([jax.lax.select_n(d[r], *cases)
+                      for r in range(d.shape[0])])
+
+
 def ungreedy_step(pos, fd, m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
                   n, eval_end, has_delete: bool, has_unk: bool,
-                  unk_token: int, lil_off: int = 1):
+                  unk_token: int, lil_off: int = 1, palt=None,
+                  dense: bool = False):
     """One 6-branch ungreedy decision for every element of ``pos`` given the
     carried forward-delete state ``fd`` (vector, same shape as pos).
 
@@ -111,12 +147,34 @@ def ungreedy_step(pos, fd, m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
     """
     safe_pos = jnp.minimum(pos, n)  # padded tables
 
-    m_plain = jnp.take(m_tab, safe_pos)
-    if has_delete:
-        mb_here = jnp.take(mb_tab, safe_pos)
-        m = jnp.where(fd == 1, mb_here, m_plain)
+    if dense:
+        # pos == arange(P) (decision-table construction): position-table
+        # lookups at pos+delta become gatherless window selects, per-token
+        # metadata flows through per-position meta tables (one gather per
+        # table) and the precomputed ``palt``.  Rows with pos >= n produce
+        # garbage decisions but are never followed or stitched.
+        W1, W2 = 64, 128
+        m_cases = _win_cases(m_tab, W1)
+        bb_cases = _win_cases(bb, W2)
+        mmeta_full = jnp.take(p1, (m_tab >> 6).astype(jnp.int32))
+        mmeta_cases = _win_cases(mmeta_full, W1)
+        m_plain = m_tab
+        if has_delete:
+            mb_cases = _win_cases(mb_tab, W1)
+            mbmeta_full = jnp.take(p1, (mb_tab >> 6).astype(jnp.int32))
+            mbmeta_cases = _win_cases(mbmeta_full, W1)
+            m = jnp.where(fd == 1, mb_tab, m_plain)
+            vmeta = jnp.where(fd == 1, mbmeta_full, mmeta_full)
+        else:
+            m = m_plain
+            vmeta = mmeta_full
     else:
-        m = m_plain
+        m_plain = jnp.take(m_tab, safe_pos)
+        if has_delete:
+            mb_here = jnp.take(mb_tab, safe_pos)
+            m = jnp.where(fd == 1, mb_here, m_plain)
+        else:
+            m = m_plain
     cur_idx = (m >> 6).astype(jnp.int32)
     # carried b-match lengths have lilbufOffset already applied
     # (go/tokenmonster.go:1093, 1222)
@@ -124,63 +182,89 @@ def ungreedy_step(pos, fd, m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
     found = m != 0
 
     L = pos.shape[0]
-    DNE = jnp.uint32(DOES_NOT_EXIST)
     NEGS = jnp.int32(NEG)
 
-    # current-token metadata + alternative indices/lengths
-    v = jnp.take(p1, cur_idx).astype(jnp.int32)
+    # current-token metadata + alternative lengths (len==0 <=> no alt,
+    # core/tokenmeta.py:159-175 — equivalent to the DOES_NOT_EXIST test)
+    v = (vmeta if dense else jnp.take(p1, cur_idx)).astype(jnp.int32)
     of, onw = v & 0xFF, (v >> 8) & 0xFF
     olen1, olen2 = (v >> 16) & 0xFF, (v >> 24) & 0xFF
-    oidx1 = jnp.take(index1_t, cur_idx)
-    oidx2 = jnp.take(index2_t, cur_idx)
     oids = jnp.take(ids3, cur_idx, axis=0)  # (L, 3) id, id1, id2
 
     i1 = safe_pos + cur_len
+    bb_i1 = _win_take(bb_cases, cur_len) if dense else jnp.take(bb, i1)
     do_eval = found & (i1 < eval_end) & (
-        ((of & 32) == 0) | (jnp.take(bb, i1) != 12))
+        ((of & 32) == 0) | (bb_i1 != 12))
     nw_adj = onw - fd
 
     # ---- stacked branch layout: rows = [greedy, alt1, alt2] ----
-    has_alt1 = do_eval & (oidx1 != DNE)
-    has_alt2 = has_alt1 & (oidx2 != DNE)
+    has_alt1 = do_eval & (olen1 > 0)
+    has_alt2 = has_alt1 & (olen2 > 0)
     valid_first = jnp.stack([do_eval, has_alt1, has_alt2])        # (3,L)
-    alt1_idx = jnp.where(has_alt1, oidx1, 0).astype(jnp.int32)
-    alt2_idx = jnp.where(has_alt2, oidx2, 0).astype(jnp.int32)
-    first_idx = jnp.stack([cur_idx, alt1_idx, alt2_idx])          # (3,L)
     first_len = jnp.stack([cur_len, olen1 - fd, olen2 - fd])
     start3 = jnp.where(valid_first, safe_pos[None, :] + first_len,
                        i1[None, :])                               # (3,L)
+    if dense:
+        delta3 = jnp.where(valid_first, first_len, cur_len[None, :])
 
     # batched lookahead matches at the three branch starts
-    m3 = jnp.take(m_tab, start3.reshape(-1)).reshape(3, L)
+    if dense:
+        m3 = _win_take(m_cases, delta3)
+    else:
+        m3 = jnp.take(m_tab, start3.reshape(-1)).reshape(3, L)
     sec_idx = (m3 >> 6).astype(jnp.int32)
     sec_len = (m3 & 63).astype(jnp.int32)
     valid_nb = valid_first & (m3 != 0)
     if has_delete:
-        mb3 = jnp.take(mb_tab, start3.reshape(-1)).reshape(3, L)
+        if dense:
+            mb3 = _win_take(mb_cases, delta3)
+        else:
+            mb3 = jnp.take(mb_tab, start3.reshape(-1)).reshape(3, L)
         secb_idx = (mb3 >> 6).astype(jnp.int32)
         secb_lenf = (mb3 & 63).astype(jnp.int32)  # incl. leading space
     else:
         secb_idx = sec_idx
         secb_lenf = jnp.zeros_like(sec_len)
 
-    # batched metadata: first flags (3), second (3), second-b (3)
-    meta_idx = jnp.concatenate(
-        [first_idx.reshape(-1), sec_idx.reshape(-1),
-         secb_idx.reshape(-1)])
-    mv = jnp.take(p1, meta_idx).astype(jnp.int32).reshape(9, L)
-    ff, fsec, fsecb = mv[0:3], mv[3:6], mv[6:9]
-    f_first = ff & 0xFF
-    fnw = (ff >> 8) & 0xFF
-    sf, snw = fsec & 0xFF, (fsec >> 8) & 0xFF
-    sfb, snwb = fsecb & 0xFF, (fsecb >> 8) & 0xFF
+    # metadata: first flags (3), second (3), second-b (3)
+    if dense:
+        va = jnp.take(palt, cur_idx).astype(jnp.int32)
+        f_first = jnp.stack([of, va & 0xFF, (va >> 16) & 0xFF])
+        fnw = jnp.stack([onw, (va >> 8) & 0xFF, (va >> 24) & 0xFF])
+        smeta = _win_take(mmeta_cases, delta3).astype(jnp.int32)  # (3,L)
+        sf, snw = smeta & 0xFF, (smeta >> 8) & 0xFF
+        if has_delete:
+            sbmeta = _win_take(mbmeta_cases, delta3).astype(jnp.int32)
+            sfb, snwb = sbmeta & 0xFF, (sbmeta >> 8) & 0xFF
+        else:
+            sfb, snwb = sf, snw
+    else:
+        DNE = jnp.uint32(DOES_NOT_EXIST)
+        oidx1 = jnp.take(index1_t, cur_idx)
+        oidx2 = jnp.take(index2_t, cur_idx)
+        alt1_idx = jnp.where(has_alt1, oidx1, 0).astype(jnp.int32)
+        alt2_idx = jnp.where(has_alt2, oidx2, 0).astype(jnp.int32)
+        first_idx = jnp.stack([cur_idx, alt1_idx, alt2_idx])      # (3,L)
+        meta_idx = jnp.concatenate(
+            [first_idx.reshape(-1), sec_idx.reshape(-1),
+             secb_idx.reshape(-1)])
+        mv = jnp.take(p1, meta_idx).astype(jnp.int32).reshape(9, L)
+        ff, fsec, fsecb = mv[0:3], mv[3:6], mv[6:9]
+        f_first = ff & 0xFF
+        fnw = (ff >> 8) & 0xFF
+        sf, snw = fsec & 0xFF, (fsec >> 8) & 0xFF
+        sfb, snwb = fsecb & 0xFF, (fsecb >> 8) & 0xFF
 
     # batched next-byte classes at the six branch end positions
-    end_nb = start3 + sec_len
-    end_b = start3 + (secb_lenf - lil_off)
-    nb_all = jnp.take(bb, jnp.concatenate(
-        [end_nb.reshape(-1), end_b.reshape(-1)])).reshape(6, L)
-    nb_nb, nb_b = nb_all[0:3], nb_all[3:6]
+    if dense:
+        nb_nb = _win_take(bb_cases, delta3 + sec_len)
+        nb_b = _win_take(bb_cases, delta3 + (secb_lenf - lil_off))
+    else:
+        end_nb = start3 + sec_len
+        end_b = start3 + (secb_lenf - lil_off)
+        nb_all = jnp.take(bb, jnp.concatenate(
+            [end_nb.reshape(-1), end_b.reshape(-1)])).reshape(6, L)
+        nb_nb, nb_b = nb_all[0:3], nb_all[3:6]
 
     nw1_adj = jnp.stack([nw_adj, fnw[1] - fd, fnw[2] - fd])       # (3,L)
     greedy_len = cur_len[None, :]
@@ -323,9 +407,10 @@ MARGIN = 512      # real-data lookahead past a dispatch's exact region: the
 
 
 def device_pipeline(text, n, dfa, dout, sdfa, sout, bb_byte,
-                    p1, i1t, i2t, ids3, *, chunk: int, n_lanes: int,
-                    has_delete: bool, has_unk: bool, delete_token: int,
-                    unk_token: int, lil_off: int, engine: str = "decision"):
+                    p1, i1t, i2t, ids3, palt=None, *, chunk: int,
+                    n_lanes: int, has_delete: bool, has_unk: bool,
+                    delete_token: int, unk_token: int, lil_off: int,
+                    engine: str = "decision"):
     """The full device tokenize pipeline for one dispatch (pure, jit/shard_map
     composable): phase-1 match tables for both automatons over the buffer
     (incl. margin), then the ungreedy engine over speculative chunk lanes.
@@ -364,7 +449,7 @@ def device_pipeline(text, n, dfa, dout, sdfa, sout, bb_byte,
         from .decision import decision_tables, follow_lanes
         ctl, tokt = decision_tables(
             m_tab, mb_tab, bb, p1, i1t, i2t, ids3, n,
-            has_delete, has_unk, unk_token, lil_off=lil_off)
+            has_delete, has_unk, unk_token, lil_off=lil_off, palt=palt)
         return follow_lanes(ctl, tokt, n, chunk, n_lanes, OVERLAP_SCAN)
     return scan_lanes(
         m_tab, mb_tab, bb, p1, i1t, i2t, ids3,
@@ -401,10 +486,10 @@ class TpuTokenizer:
         has_delete = dv.has_delete and dv.space_dfa is not None
 
         def device_tokenize(text, n, dfa, dout, sdfa, sout, bb_byte,
-                            p1, i1t, i2t, ids3):
+                            p1, i1t, i2t, ids3, palt):
             return device_pipeline(
                 text, n, dfa, dout, sdfa, sout, bb_byte, p1, i1t, i2t, ids3,
-                chunk=chunk, n_lanes=n_lanes, has_delete=has_delete,
+                palt, chunk=chunk, n_lanes=n_lanes, has_delete=has_delete,
                 has_unk=dv.has_unk, delete_token=dv.delete_token & 0xFFFFFF,
                 unk_token=dv.unk_token & 0xFFFFFF, lil_off=dv.lil_off,
                 engine=self.engine)
@@ -428,9 +513,10 @@ class TpuTokenizer:
         out_cap = 2 * (chunk + OVERLAP_SCAN) * n_lanes
 
         def run(text, n, start0, last_lane, final, dfa, dout, sdfa, sout,
-                bb_byte, p1, i1t, i2t, ids3):
+                bb_byte, p1, i1t, i2t, ids3, palt):
             recs, toks, _t_final = inner(
-                text, n, dfa, dout, sdfa, sout, bb_byte, p1, i1t, i2t, ids3)
+                text, n, dfa, dout, sdfa, sout, bb_byte, p1, i1t, i2t, ids3,
+                palt)
             return device_stitch(recs, toks, start0, last_lane, final,
                                  dv.delete_token & 0xFFFFFF, out_cap)
 
@@ -453,7 +539,7 @@ class TpuTokenizer:
         sout = dv.space_out if dv.space_out is not None else dv.main_out
         recs, toks, t_final = self._fused_fn(lanes)(
             jnp.asarray(buf), n_slice, dv.main_dfa, dv.main_out, sdfa, sout,
-            self._bb_byte, dv.p1, dv.index1, dv.index2, dv.ids)
+            self._bb_byte, dv.p1, dv.index1, dv.index2, dv.ids, dv.palt)
         real_lanes = -(-exact // chunk)
         return recs, toks, t_final, real_lanes
 
@@ -510,7 +596,7 @@ class TpuTokenizer:
             out, count, missing, start_next, sync_ok = fn(
                 buf, jnp.int32(n_slice), start0, jnp.int32(lr), final,
                 dv.main_dfa, dv.main_out, sdfa, sout, self._bb_byte,
-                dv.p1, dv.index1, dv.index2, dv.ids)
+                dv.p1, dv.index1, dv.index2, dv.ids, dv.palt)
             outs.append((out, count, missing, sync_ok))
             start0 = start_next
         return outs

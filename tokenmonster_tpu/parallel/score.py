@@ -162,10 +162,11 @@ def pad_tables_for_scoring(vocab, states_bucket=None, ids_bucket=None):
     p1 = pad1(dv.p1)
     i1 = pad1(dv.index1)
     i2 = pad1(dv.index2)
+    palt = pad1(dv.palt)
     ids3 = jnp.concatenate(
         [dv.ids, jnp.zeros((cap - n, 3), dv.ids.dtype)], axis=0)
     bb = jnp.asarray(vocab.begin_byte.astype(np.int32))
-    return dv, (mdfa, mout, sdfa, sout, bb, p1, i1, i2, ids3)
+    return dv, (mdfa, mout, sdfa, sout, bb, p1, i1, i2, ids3, palt)
 
 
 def exact_score_geometry(max_strip_len: int, chunk: int):
@@ -194,7 +195,8 @@ def make_exact_score_step(mesh: Mesh, chunk: int, lanes: int,
     stride = (lanes - 1) * chunk
     total = lanes * chunk + MARGIN
 
-    def one_strip(text, n, dfa, dout, sdfa, sout, bb, p1, i1, i2, ids3):
+    def one_strip(text, n, dfa, dout, sdfa, sout, bb, p1, i1, i2, ids3,
+                  palt):
         scores = jnp.zeros(n_ids_cap, jnp.int32)
         n_tok = jnp.int32(0)
         miss_mask = jnp.zeros(256, jnp.int32)
@@ -210,7 +212,7 @@ def make_exact_score_step(mesh: Mesh, chunk: int, lanes: int,
             final_d = rem <= stride
             recs, toks, _t = device_pipeline(
                 sl, n_slice, dfa, dout, sdfa, sout, bb, p1, i1, i2, ids3,
-                chunk=chunk, n_lanes=lanes, has_delete=has_delete,
+                palt, chunk=chunk, n_lanes=lanes, has_delete=has_delete,
                 has_unk=False, delete_token=delete_token, unk_token=0,
                 lil_off=lil_off, engine=engine)
             s, nt, mm, start_next, sok = device_stitch_score(
@@ -236,7 +238,7 @@ def make_exact_score_step(mesh: Mesh, chunk: int, lanes: int,
     spec_rep = P()
     sharded = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(spec_text, spec_n) + (spec_rep,) * 9,
+        in_specs=(spec_text, spec_n) + (spec_rep,) * 10,
         out_specs=(spec_rep, spec_rep, spec_rep, spec_rep),
         check_vma=False)
     return jax.jit(sharded)
