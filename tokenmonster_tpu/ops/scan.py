@@ -153,7 +153,10 @@ def ungreedy_step(pos, fd, m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
         # metadata flows through per-position meta tables (one gather per
         # table) and the precomputed ``palt``.  Rows with pos >= n produce
         # garbage decisions but are never followed or stitched.
-        W1, W2 = 64, 128
+        # window widths: token length <= 40 by format (.vocab bytes8,
+        # MAX_KEY_LEN) so branch-start deltas are <= 40 and branch-end
+        # deltas <= 80
+        W1, W2 = 48, 96
         m_cases = _win_cases(m_tab, W1)
         bb_cases = _win_cases(bb, W2)
         mmeta_full = jnp.take(p1, (m_tab >> 6).astype(jnp.int32))
