@@ -48,6 +48,7 @@ SEED_TEXT = (
 MB = 1024 * 1024
 CORPUS_MB = 4
 BASELINE_BPS = 33.1e6  # tokenmonster-cpp/README.md:70 (encode+tokenize)
+TARGET_BPS = 1e9       # BASELINE.md framework target: 1 GB/s/chip
 
 
 def build_vocab():
@@ -91,6 +92,14 @@ def _tpu_child():
         out[key] = round((time.time() - t_start) * 1000)
 
     corpus = (SEED_TEXT * (CORPUS_MB * MB // len(SEED_TEXT) + 1))[:CORPUS_MB * MB]
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+
+    def _cache_entries():
+        try:
+            return len(os.listdir(cache_dir))
+        except OSError:
+            return 0
+
     try:
         import numpy as _np
 
@@ -101,18 +110,26 @@ def _tpu_child():
         mark("t_vocab_ms")
         tk = TpuTokenizer(vocab, chunk=2048)
         mark("t_tables_ms")  # AC automaton build + device upload
+        out["jaxcache_before"] = _cache_entries()
         staged = tk.stage(corpus)
         res = tk.tokenize_staged(staged)  # warm: compiles + exactness
         mark("t_warm_ms")
+        # persistent-cache diagnostics: entries added == compile-cache misses
+        # this run; a warm cache must show 0 added (VERDICT r2 weak #3)
+        out["jaxcache_added"] = _cache_entries() - out["jaxcache_before"]
         assert res is not None, "device stitch failed to sync"
         ids_t, _missing = res
         out["tpu_n_tokens"] = int(len(ids_t))
 
-        # tunnel sync round-trip latency (for interpreting the numbers)
+        # tunnel sync round-trip latency (for interpreting the numbers):
+        # both jitted fns are compiled + fetched once before the timed
+        # fetch, so the interval measures only the sync round-trip
+        f2 = jax.jit(lambda a: a + 2)
         z = jax.jit(lambda a: a + 1)(jax.numpy.zeros((8, 128), jax.numpy.int32))
         _ = float(z[0, 0])
+        _ = float(f2(z)[0, 0])
         t0 = time.time()
-        _ = float(jax.jit(lambda a: a + 2)(z)[0, 0])
+        _ = float(f2(z)[0, 0])
         rtt = time.time() - t0
         out["tunnel_rtt_ms"] = round(rtt * 1000, 1)
 
@@ -197,6 +214,10 @@ def main():
         t0 = time.time()
         norm = vocab.normalizer.normalize(corpus)
         details["normalize_bps"] = round(len(corpus) / (time.time() - t0))
+        if native_bps == 0.0:
+            # native path failed: obtain ids from the host oracle so the
+            # decode/serialize metrics still report
+            ids, _m = vocab.tokenize(corpus)
         ids_a = np.asarray(ids)
         t0 = time.time()
         decoded = vocab.decode(ids_a)
@@ -213,12 +234,23 @@ def main():
     except Exception as e:  # pragma: no cover
         details["aux_error"] = str(e)[:120]
 
-    value = max(tpu_bps, native_bps)
+    # Headline = the best path, but labeled by what was actually measured:
+    # the TPU device path only claims "per chip" once it beats the host C++
+    # tokenizer (VERDICT r2: never report a CPU number as a chip number).
+    tpu_device = float(details.get("tpu_device_bps", 0))
+    if tpu_device >= native_bps:
+        value = tpu_device
+        metric = "tokenize bytes/sec/chip (TPU device path, gpt2-50k, exact ids)"
+    else:
+        value = max(tpu_bps, native_bps)
+        metric = ("tokenize bytes/sec (best path = host C++ single-core, "
+                  "gpt2-50k, exact ids)")
     details["corpus_bytes"] = len(corpus)
+    details["vs_target_1gbps"] = round(tpu_device / TARGET_BPS, 4)
     if n_tokens:
         details["chars_per_token"] = round(len(corpus) / n_tokens, 3)
     result = {
-        "metric": "tokenize bytes/sec/chip (gpt2-50k import, exact ids)",
+        "metric": metric,
         "value": round(value),
         "unit": "bytes/sec",
         "vs_baseline": round(value / BASELINE_BPS, 3),

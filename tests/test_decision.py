@@ -40,7 +40,7 @@ def _tables(vocab, data, dense=False):
     bb = jnp.asarray(np.concatenate([
         vocab.begin_byte.astype(np.int32)[arr],
         np.full(64, int(vocab.begin_byte[0]), np.int32)]))
-    kw = dict(palt=dv.palt, dense_min=0) if dense else {}
+    kw = dict(meta5=dv.meta5, dense_min=0) if dense else {}
     ctl, tok = decision_tables(
         m_tab, mb_tab, bb, dv.p1, dv.index1, dv.index2, dv.ids,
         n, has_delete, dv.has_unk, dv.unk_token & 0xFFFFFF,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 
 import numpy as np
 
@@ -20,6 +21,13 @@ from .core.tokenmeta import DOES_NOT_EXIST
 from .core.vocab import Vocab as _CoreVocab
 
 _local_directory = None
+
+# One in-process device lock: the batch path tokenizes items thread-parallel
+# and two items >= TPU_THRESHOLD would otherwise drive the TPU pipeline
+# concurrently — concurrent device clients can wedge shared-TPU relays
+# (DESIGN.md "axon relay wedge"), and interleaved dispatch chains give no
+# throughput win on one chip anyway.
+_TPU_LOCK = threading.Lock()
 
 # Prebuilt vocabulary registry (reference python/tokenmonster.py:1178-1202,
 # 1300): the published names resolve against the local vocab directory first
@@ -267,7 +275,8 @@ class Vocab:
         if len(normalized) >= self.TPU_THRESHOLD:
             tk = self._tpu_tokenizer()
             if tk is not None:
-                ids, _missing = tk.tokenize(normalized)
+                with _TPU_LOCK:
+                    ids, _missing = tk.tokenize(normalized)
                 return ids.astype(self._ids_dtype())
         nv = self._native_vocab()
         if nv is not None:

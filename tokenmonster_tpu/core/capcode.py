@@ -195,7 +195,30 @@ class Decoder:
         self.delete = False
         self.ignore = False
 
+    def _native(self, data: bytes, fn_name: str):
+        """Run the native stateful decode loop (tm_capcode_decode /
+        tm_nocapcode_decode) with this decoder's carried state; returns None
+        when the native library is unavailable."""
+        try:
+            import numpy as np
+
+            from .. import native
+            fn = getattr(native, fn_name)
+        except Exception:
+            return None
+        state = np.array([self.in_word, self.in_char, self.delete,
+                          self.ignore], np.uint8)
+        out = fn(data, state)
+        if out is None:
+            return None
+        self.in_word, self.in_char, self.delete, self.ignore = (
+            bool(state[0]), bool(state[1]), bool(state[2]), bool(state[3]))
+        return out
+
     def decode(self, data: bytes) -> bytes:
+        out_n = self._native(data, "native_capcode_decode")
+        if out_n is not None:
+            return out_n
         out: list[str] = []
         for r in data.decode("utf-8", errors="surrogateescape"):
             # Marker characters do not clear `ignore` (the JS switch
@@ -239,6 +262,9 @@ class Decoder:
         return "".join(out).encode("utf-8", errors="surrogateescape")
 
     def no_capcode_decode(self, data: bytes) -> bytes:
+        out_n = self._native(data, "native_nocapcode_decode")
+        if out_n is not None:
+            return out_n
         out: list[str] = []
         marker = chr(NO_CAPCODE_DELETE_TOKEN)
         for r in data.decode("utf-8", errors="surrogateescape"):

@@ -723,6 +723,7 @@ class Vocab:
         # (go :3420-3470)
         dictionary = Dictionary()
         self.reverse = [None] * max_id
+        self._decode_cache = None  # _decode_raw's blob/offset view
         add_prefix = bytes([cc.DELETE_TOKEN]) + b" "
         if using_capcode == 1:
             add_prefix = bytes([cc.NO_CAPCODE_DELETE_TOKEN]) + b" "
@@ -921,14 +922,46 @@ class Vocab:
         return self.decode(self.deserialize(b, encoding_length))
 
     def _decode_raw(self, tokens) -> bytes:
-        out = bytearray()
+        """id stream -> concatenated token bytes, vectorised: a cached
+        (blob, offsets, lengths) view of the reverse table turns decode into
+        two numpy gathers + one repeat (the reference decodes at 163-186
+        MB/s natively, tokenmonster-cpp/README.md:70; a per-token Python
+        loop is ~100x slower)."""
+        ids = np.asarray(tokens).astype(np.int64, copy=False).reshape(-1)
         n_tokens = len(self.reverse)
-        for v in np.asarray(tokens).tolist():
-            if 0 <= v < n_tokens:
-                t = self.reverse[v]
-                if t is not None:
-                    out += t
-        return bytes(out)
+        if ids.size == 0 or n_tokens == 0:
+            return b""
+        cache = getattr(self, "_decode_cache", None)
+        if cache is None or cache[3] != n_tokens:
+            lens = np.fromiter(
+                (0 if t is None else len(t) for t in self.reverse),
+                np.int64, n_tokens)
+            offs = np.zeros(n_tokens + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            blob = np.frombuffer(
+                b"".join(t for t in self.reverse if t is not None), np.uint8)
+            cache = (blob, offs, lens, n_tokens)
+            self._decode_cache = cache
+        blob, offs, lens, _ = cache
+        valid = (ids >= 0) & (ids < n_tokens)
+        if not valid.all():
+            ids = ids[valid]
+        tl = lens[ids]
+        total = int(tl.sum())
+        if total == 0:
+            return b""
+        try:
+            from .. import native
+            out = native.native_decode(ids, blob, offs, n_tokens, total)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+        # numpy fallback — source indices: per token t, offs[t] + (0..len-1)
+        ends = np.cumsum(tl)
+        within = np.arange(total, dtype=np.int64) - np.repeat(ends - tl, tl)
+        src = np.repeat(offs[:-1][ids], tl) + within
+        return blob[src].tobytes()
 
     def new_decoder(self):
         from .decoder import StreamDecoder

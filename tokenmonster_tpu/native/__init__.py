@@ -95,6 +95,10 @@ def get_lib():
                 fn.restype = ctypes.c_int64
                 fn.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                ctypes.c_void_p, ctypes.c_void_p]
+            lib.tm_decode.restype = ctypes.c_int64
+            lib.tm_decode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p]
             _lib = lib
         except Exception as e:
             import logging
@@ -279,6 +283,57 @@ def native_nocapcode_encode(data: bytes) -> bytes | None:
     src = np.frombuffer(data, np.uint8)
     out = np.empty(2 * n + 16, np.uint8)
     m = lib.tm_nocapcode_encode(src.ctypes.data, n, out.ctypes.data)
+    return out[:m].tobytes()
+
+
+def native_decode(ids: np.ndarray, blob: np.ndarray, offs: np.ndarray,
+                  n_tokens: int, total: int):
+    """id stream -> concatenated token bytes via tm_decode.  ``offs`` is
+    int64[n_tokens+1]; ``total`` an upper bound on output bytes.  Returns
+    bytes or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(ids, np.uint32)
+    out = np.empty(max(total, 1), np.uint8)
+    m = lib.tm_decode(ids.ctypes.data, len(ids), blob.ctypes.data,
+                      offs.ctypes.data, n_tokens, out.ctypes.data)
+    return out[:m].tobytes()
+
+
+def native_capcode_decode(data: bytes, state: "np.ndarray | None" = None):
+    """Stateful capcode decode (tm_capcode_decode, the hot loop of the
+    reference decode path — tokenmonster-cpp ~186 MB/s).  ``state`` is a
+    mutable uint8[4] [in_word, in_char, delete, ignore] carried across
+    streaming chunks; None = fresh state.  Returns bytes or None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ensure_tables(lib)
+    if state is None:
+        state = np.zeros(4, np.uint8)
+    n = len(data)
+    src = np.frombuffer(data, np.uint8)
+    # simple uppercase mappings may lengthen UTF-8 (e.g. U+023F -> U+2C7E)
+    out = np.empty(2 * n + 16, np.uint8)
+    m = lib.tm_capcode_decode(src.ctypes.data if n else None, n,
+                              out.ctypes.data, state.ctypes.data)
+    return out[:m].tobytes()
+
+
+def native_nocapcode_decode(data: bytes, state: "np.ndarray | None" = None):
+    lib = get_lib()
+    if lib is None:
+        return None
+    ensure_tables(lib)
+    if state is None:
+        state = np.zeros(4, np.uint8)
+    n = len(data)
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(n + 16, np.uint8)
+    m = lib.tm_nocapcode_decode(src.ctypes.data if n else None, n,
+                                out.ctypes.data, state.ctypes.data)
     return out[:m].tobytes()
 
 

@@ -34,6 +34,13 @@ from .automaton import build_match_automata
 NEG = -1000000
 OVERLAP_SCAN = 128  # bytes a lane scans past its chunk end to find sync
 
+# Dense-engine window widths (ungreedy_step dense mode): W1 must cover any
+# branch-start delta (max token length + lilbufOffset), W2 any branch-end
+# delta (twice that).  _win_take silently clips larger deltas, so these are
+# asserted against max_token_length at DeviceVocab.build time.
+DENSE_W1 = 48
+DENSE_W2 = 96
+
 # record packing: pos(bits 4..31) | fd(0) | has_tok(1) | has_del(2) | miss(3)
 _REC_FD = 1
 _REC_TOK = 2
@@ -45,10 +52,12 @@ _REC_MISS = 8
 class DeviceVocab:
     """Device-resident arrays for the TPU tokenizer, built from a Vocab."""
     p1: jnp.ndarray          # flag | nwords<<8 | len1<<16 | len2<<24 (u32)
-    palt: jnp.ndarray        # aflag1 | anw1<<8 | aflag2<<16 | anw2<<24 (u32):
-                             # flag/nwords of the two alternative tokens,
-                             # precomputed so the decision engine needs no
-                             # per-position gathers for them
+    meta5: jnp.ndarray       # (n, 5) u32 interleaved per-token metadata rows
+                             # [p1, palt, id, id1, id2] with palt = aflag1 |
+                             # anw1<<8 | aflag2<<16 | anw2<<24 (the alt
+                             # tokens' flag/nwords).  The dense decision
+                             # engine fetches ONE row per position instead of
+                             # 3 scalar gathers (p1 + palt + ids).
     index1: jnp.ndarray      # alt1 dict index (u32, DNE sentinel)
     index2: jnp.ndarray
     ids: jnp.ndarray         # id, id1, id2 packed as (n,3) u32
@@ -80,10 +89,19 @@ class DeviceVocab:
                 | (np.where(has2, vocab.flag[i2c], 0).astype(np.uint32) << 16)
                 | (np.where(has2, vocab.nwords[i2c], 0).astype(np.uint32) << 24))
         ids = np.stack([vocab.id, vocab.id1, vocab.id2], axis=1).astype(np.uint32)
+        meta5 = np.concatenate([p1[:, None], palt[:, None], ids], axis=1)
+        lil_off = 2 if vocab.charset == 2 else 1
+        # dense decision mode clips window deltas (_win_take); guarantee the
+        # windows cover every possible branch delta for this vocabulary
+        max_len = int(vocab.max_token_length)
+        assert max_len + lil_off < DENSE_W1 and \
+            2 * (max_len + lil_off) < DENSE_W2, (
+                f"max_token_length {max_len} exceeds dense window bounds "
+                f"(W1={DENSE_W1}, W2={DENSE_W2}); dense engine unsafe")
         main, space = build_match_automata(vocab)
         return cls(
             p1=jnp.asarray(p1),
-            palt=jnp.asarray(palt),
+            meta5=jnp.asarray(meta5),
             index1=jnp.asarray(vocab.index1),
             index2=jnp.asarray(vocab.index2),
             ids=jnp.asarray(ids),
@@ -96,8 +114,8 @@ class DeviceVocab:
             delete_token=int(vocab.delete_token),
             has_unk=vocab.unk_token != DOES_NOT_EXIST,
             unk_token=int(vocab.unk_token),
-            max_token_length=int(vocab.max_token_length),
-            lil_off=2 if vocab.charset == 2 else 1,
+            max_token_length=max_len,
+            lil_off=lil_off,
         )
 
 
@@ -105,22 +123,22 @@ def _max0(x):
     return jnp.maximum(x, 0)
 
 
-def _win_cases(tab, width: int):
-    """Static window slices tab[k:k+P] for k in [0, width): the gatherless
-    form of bounded-offset lookups tab[pos + delta] when pos == arange(P).
-    XLA fuses the whole select tree into one pass over the views, so a
-    window lookup costs ~width reads/element instead of a scalar gather
-    (~60-110M/s platform-wide on this TPU)."""
-    P = tab.shape[0]
-    # pad with the last element — jnp.take clamps out-of-range indices, so
-    # the window form must read the same value past the end
-    ext = jnp.concatenate([tab, jnp.full((width,), tab[-1], tab.dtype)])
-    return [ext[k:k + P] for k in range(width)]
+def _win_ext(tab, width: int):
+    """Extend a per-position table by ``width`` trailing copies of its last
+    element, matching jnp.take's index clamping for reads past the end."""
+    return jnp.concatenate([tab, jnp.full((width,), tab[-1], tab.dtype)])
 
 
-def _win_take(cases, delta):
-    """Lookup tab[pos + delta[..., pos]] via lax.select_n over the window."""
-    d = jnp.clip(delta, 0, len(cases) - 1).astype(jnp.int32)
+def _win_take(ext, delta, width: int):
+    """Gatherless bounded-offset lookup tab[pos + delta[..., pos]] (pos ==
+    arange(P), 0 <= delta < width) via select over the ``width`` static
+    shifts of the original table.  NOTE a log-depth butterfly of
+    shift+select is NOT equivalent: after one data-dependent level, the
+    element at q+sh has been shifted per d[q+sh], not d[q] — every select
+    candidate must be a static shift of the *original* array."""
+    P = delta.shape[-1]
+    d = jnp.clip(delta, 0, width - 1).astype(jnp.int32)
+    cases = [jax.lax.slice_in_dim(ext, k, k + P) for k in range(width)]
     if d.ndim == 1:
         return jax.lax.select_n(d, *cases)
     return jnp.stack([jax.lax.select_n(d[r], *cases)
@@ -129,8 +147,7 @@ def _win_take(cases, delta):
 
 def ungreedy_step(pos, fd, m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
                   n, eval_end, has_delete: bool, has_unk: bool,
-                  unk_token: int, lil_off: int = 1, palt=None,
-                  dense: bool = False):
+                  unk_token: int, lil_off: int = 1, dense_ctx=None):
     """One 6-branch ungreedy decision for every element of ``pos`` given the
     carried forward-delete state ``fd`` (vector, same shape as pos).
 
@@ -147,30 +164,24 @@ def ungreedy_step(pos, fd, m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
     """
     safe_pos = jnp.minimum(pos, n)  # padded tables
 
+    dense = dense_ctx is not None
     if dense:
         # pos == arange(P) (decision-table construction): position-table
-        # lookups at pos+delta become gatherless window selects, per-token
-        # metadata flows through per-position meta tables (one gather per
-        # table) and the precomputed ``palt``.  Rows with pos >= n produce
-        # garbage decisions but are never followed or stitched.
+        # lookups at pos+delta become gatherless butterfly shift-selects and
+        # per-token metadata flows through the precomputed per-position meta
+        # rows in dense_ctx (ops/decision.py) — zero gathers in this branch.
+        # Rows with pos >= n produce garbage decisions but are never
+        # followed or stitched.
         # window widths: token length <= 40 by format (.vocab bytes8,
         # MAX_KEY_LEN) so branch-start deltas are <= 40 and branch-end
-        # deltas <= 80
-        W1, W2 = 48, 96
-        m_cases = _win_cases(m_tab, W1)
-        bb_cases = _win_cases(bb, W2)
-        mmeta_full = jnp.take(p1, (m_tab >> 6).astype(jnp.int32))
-        mmeta_cases = _win_cases(mmeta_full, W1)
-        m_plain = m_tab
-        if has_delete:
-            mb_cases = _win_cases(mb_tab, W1)
-            mbmeta_full = jnp.take(p1, (mb_tab >> 6).astype(jnp.int32))
-            mbmeta_cases = _win_cases(mbmeta_full, W1)
-            m = jnp.where(fd == 1, mb_tab, m_plain)
-            vmeta = jnp.where(fd == 1, mbmeta_full, mmeta_full)
-        else:
-            m = m_plain
-            vmeta = mmeta_full
+        # deltas <= 80 (bounds asserted at DeviceVocab.build)
+        W1, W2 = DENSE_W1, DENSE_W2
+        on_b = has_delete and dense_ctx["fd_val"] == 1
+        pp = dense_ctx["mbm"] if on_b else dense_ctx["mm"]   # (P, 5)
+        m = mb_tab if on_b else m_tab
+        vmeta = pp[:, 0]
+        ext_m, ext_bb = dense_ctx["ext_m"], dense_ctx["ext_bb"]
+        ext_mmeta = dense_ctx["ext_mmeta"]
     else:
         m_plain = jnp.take(m_tab, safe_pos)
         if has_delete:
@@ -192,10 +203,12 @@ def ungreedy_step(pos, fd, m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
     v = (vmeta if dense else jnp.take(p1, cur_idx)).astype(jnp.int32)
     of, onw = v & 0xFF, (v >> 8) & 0xFF
     olen1, olen2 = (v >> 16) & 0xFF, (v >> 24) & 0xFF
-    oids = jnp.take(ids3, cur_idx, axis=0)  # (L, 3) id, id1, id2
+    # (L, 3) id, id1, id2 of the current token
+    oids = pp[:, 2:5] if dense else jnp.take(ids3, cur_idx, axis=0)
 
     i1 = safe_pos + cur_len
-    bb_i1 = _win_take(bb_cases, cur_len) if dense else jnp.take(bb, i1)
+    bb_i1 = (_win_take(ext_bb, cur_len, DENSE_W2) if dense
+             else jnp.take(bb, i1))
     do_eval = found & (i1 < eval_end) & (
         ((of & 32) == 0) | (bb_i1 != 12))
     nw_adj = onw - fd
@@ -212,7 +225,7 @@ def ungreedy_step(pos, fd, m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
 
     # batched lookahead matches at the three branch starts
     if dense:
-        m3 = _win_take(m_cases, delta3)
+        m3 = _win_take(ext_m, delta3, W1)
     else:
         m3 = jnp.take(m_tab, start3.reshape(-1)).reshape(3, L)
     sec_idx = (m3 >> 6).astype(jnp.int32)
@@ -220,7 +233,7 @@ def ungreedy_step(pos, fd, m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
     valid_nb = valid_first & (m3 != 0)
     if has_delete:
         if dense:
-            mb3 = _win_take(mb_cases, delta3)
+            mb3 = _win_take(dense_ctx["ext_mb"], delta3, W1)
         else:
             mb3 = jnp.take(mb_tab, start3.reshape(-1)).reshape(3, L)
         secb_idx = (mb3 >> 6).astype(jnp.int32)
@@ -231,13 +244,14 @@ def ungreedy_step(pos, fd, m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
 
     # metadata: first flags (3), second (3), second-b (3)
     if dense:
-        va = jnp.take(palt, cur_idx).astype(jnp.int32)
+        va = pp[:, 1].astype(jnp.int32)
         f_first = jnp.stack([of, va & 0xFF, (va >> 16) & 0xFF])
         fnw = jnp.stack([onw, (va >> 8) & 0xFF, (va >> 24) & 0xFF])
-        smeta = _win_take(mmeta_cases, delta3).astype(jnp.int32)  # (3,L)
+        smeta = _win_take(ext_mmeta, delta3, W1).astype(jnp.int32)  # (3,L)
         sf, snw = smeta & 0xFF, (smeta >> 8) & 0xFF
         if has_delete:
-            sbmeta = _win_take(mbmeta_cases, delta3).astype(jnp.int32)
+            sbmeta = _win_take(dense_ctx["ext_mbmeta"], delta3,
+                               W1).astype(jnp.int32)
             sfb, snwb = sbmeta & 0xFF, (sbmeta >> 8) & 0xFF
         else:
             sfb, snwb = sf, snw
@@ -260,8 +274,8 @@ def ungreedy_step(pos, fd, m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
 
     # batched next-byte classes at the six branch end positions
     if dense:
-        nb_nb = _win_take(bb_cases, delta3 + sec_len)
-        nb_b = _win_take(bb_cases, delta3 + (secb_lenf - lil_off))
+        nb_nb = _win_take(ext_bb, delta3 + sec_len, W2)
+        nb_b = _win_take(ext_bb, delta3 + (secb_lenf - lil_off), W2)
     else:
         end_nb = start3 + sec_len
         end_b = start3 + (secb_lenf - lil_off)
@@ -410,7 +424,7 @@ MARGIN = 512      # real-data lookahead past a dispatch's exact region: the
 
 
 def device_pipeline(text, n, dfa, dout, sdfa, sout, bb_byte,
-                    p1, i1t, i2t, ids3, palt=None, *, chunk: int,
+                    p1, i1t, i2t, ids3, meta5=None, *, chunk: int,
                     n_lanes: int, has_delete: bool, has_unk: bool,
                     delete_token: int, unk_token: int, lil_off: int,
                     engine: str = "decision"):
@@ -452,7 +466,7 @@ def device_pipeline(text, n, dfa, dout, sdfa, sout, bb_byte,
         from .decision import decision_tables, follow_lanes
         ctl, tokt = decision_tables(
             m_tab, mb_tab, bb, p1, i1t, i2t, ids3, n,
-            has_delete, has_unk, unk_token, lil_off=lil_off, palt=palt)
+            has_delete, has_unk, unk_token, lil_off=lil_off, meta5=meta5)
         return follow_lanes(ctl, tokt, n, chunk, n_lanes, OVERLAP_SCAN)
     return scan_lanes(
         m_tab, mb_tab, bb, p1, i1t, i2t, ids3,
@@ -489,10 +503,10 @@ class TpuTokenizer:
         has_delete = dv.has_delete and dv.space_dfa is not None
 
         def device_tokenize(text, n, dfa, dout, sdfa, sout, bb_byte,
-                            p1, i1t, i2t, ids3, palt):
+                            p1, i1t, i2t, ids3, meta5):
             return device_pipeline(
                 text, n, dfa, dout, sdfa, sout, bb_byte, p1, i1t, i2t, ids3,
-                palt, chunk=chunk, n_lanes=n_lanes, has_delete=has_delete,
+                meta5, chunk=chunk, n_lanes=n_lanes, has_delete=has_delete,
                 has_unk=dv.has_unk, delete_token=dv.delete_token & 0xFFFFFF,
                 unk_token=dv.unk_token & 0xFFFFFF, lil_off=dv.lil_off,
                 engine=self.engine)
@@ -516,10 +530,10 @@ class TpuTokenizer:
         out_cap = 2 * (chunk + OVERLAP_SCAN) * n_lanes
 
         def run(text, n, start0, last_lane, final, dfa, dout, sdfa, sout,
-                bb_byte, p1, i1t, i2t, ids3, palt):
+                bb_byte, p1, i1t, i2t, ids3, meta5):
             recs, toks, _t_final = inner(
                 text, n, dfa, dout, sdfa, sout, bb_byte, p1, i1t, i2t, ids3,
-                palt)
+                meta5)
             return device_stitch(recs, toks, start0, last_lane, final,
                                  dv.delete_token & 0xFFFFFF, out_cap)
 
@@ -542,7 +556,7 @@ class TpuTokenizer:
         sout = dv.space_out if dv.space_out is not None else dv.main_out
         recs, toks, t_final = self._fused_fn(lanes)(
             jnp.asarray(buf), n_slice, dv.main_dfa, dv.main_out, sdfa, sout,
-            self._bb_byte, dv.p1, dv.index1, dv.index2, dv.ids, dv.palt)
+            self._bb_byte, dv.p1, dv.index1, dv.index2, dv.ids, dv.meta5)
         real_lanes = -(-exact // chunk)
         return recs, toks, t_final, real_lanes
 
@@ -599,7 +613,7 @@ class TpuTokenizer:
             out, count, missing, start_next, sync_ok = fn(
                 buf, jnp.int32(n_slice), start0, jnp.int32(lr), final,
                 dv.main_dfa, dv.main_out, sdfa, sout, self._bb_byte,
-                dv.p1, dv.index1, dv.index2, dv.ids, dv.palt)
+                dv.p1, dv.index1, dv.index2, dv.ids, dv.meta5)
             outs.append((out, count, missing, sync_ok))
             start0 = start_next
         return outs

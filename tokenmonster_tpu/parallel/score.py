@@ -162,11 +162,12 @@ def pad_tables_for_scoring(vocab, states_bucket=None, ids_bucket=None):
     p1 = pad1(dv.p1)
     i1 = pad1(dv.index1)
     i2 = pad1(dv.index2)
-    palt = pad1(dv.palt)
     ids3 = jnp.concatenate(
         [dv.ids, jnp.zeros((cap - n, 3), dv.ids.dtype)], axis=0)
+    meta5 = jnp.concatenate(
+        [dv.meta5, jnp.zeros((cap - n, 5), dv.meta5.dtype)], axis=0)
     bb = jnp.asarray(vocab.begin_byte.astype(np.int32))
-    return dv, (mdfa, mout, sdfa, sout, bb, p1, i1, i2, ids3, palt)
+    return dv, (mdfa, mout, sdfa, sout, bb, p1, i1, i2, ids3, meta5)
 
 
 def exact_score_geometry(max_strip_len: int, chunk: int):
@@ -196,7 +197,7 @@ def make_exact_score_step(mesh: Mesh, chunk: int, lanes: int,
     total = lanes * chunk + MARGIN
 
     def one_strip(text, n, dfa, dout, sdfa, sout, bb, p1, i1, i2, ids3,
-                  palt):
+                  meta5):
         scores = jnp.zeros(n_ids_cap, jnp.int32)
         n_tok = jnp.int32(0)
         miss_mask = jnp.zeros(256, jnp.int32)
@@ -212,7 +213,7 @@ def make_exact_score_step(mesh: Mesh, chunk: int, lanes: int,
             final_d = rem <= stride
             recs, toks, _t = device_pipeline(
                 sl, n_slice, dfa, dout, sdfa, sout, bb, p1, i1, i2, ids3,
-                palt, chunk=chunk, n_lanes=lanes, has_delete=has_delete,
+                meta5, chunk=chunk, n_lanes=lanes, has_delete=has_delete,
                 has_unk=False, delete_token=delete_token, unk_token=0,
                 lil_off=lil_off, engine=engine)
             s, nt, mm, start_next, sok = device_stitch_score(

@@ -68,6 +68,13 @@ class CandidateScorer:
         self.using_capcode = using_capcode
         self.norm_flag = norm_flag
         self.backend = backend
+        # jitted exact-score steps cached per geometry: candidate tables are
+        # padded to pow2 buckets (pad_tables_for_scoring), so a 50-round
+        # training run compiles exactly once per (chunk, lanes, dispatches,
+        # ids-cap, delete-config) — rebuilding the closure each score() call
+        # would re-trace and re-compile the whole pipeline every round.
+        self._tpu_steps: dict = {}
+        self.tpu_compiles = 0
 
     def build(self, token_list):
         """token_list: singles + tokens + specials (pre-encoded bytes)."""
@@ -136,10 +143,17 @@ class CandidateScorer:
         max_len = max((len(d) for d in datasets), default=1)
         lanes, dispatches, buf_len = exact_score_geometry(
             _pow2(max(max_len, chunk)), chunk)
-        step = make_exact_score_step(
-            mesh, chunk, lanes, dispatches, n_ids_cap,
-            dv.space_dfa is not None, dv.delete_token & 0xFFFFFF,
-            lil_off=dv.lil_off)
+        key = (chunk, lanes, dispatches, n_ids_cap,
+               dv.space_dfa is not None, dv.delete_token & 0xFFFFFF,
+               dv.lil_off, len(devices))
+        step = self._tpu_steps.get(key)
+        if step is None:
+            step = make_exact_score_step(
+                mesh, chunk, lanes, dispatches, n_ids_cap,
+                dv.space_dfa is not None, dv.delete_token & 0xFFFFFF,
+                lil_off=dv.lil_off)
+            self._tpu_steps[key] = step
+            self.tpu_compiles += 1
         rep = NamedSharding(mesh, P())
         tables_dev = tuple(jax.device_put(t, rep) for t in tables)
         n_dev = len(devices)
@@ -281,23 +295,43 @@ def train_vocab(dataset: bytes, dictionary_path, results_dir,
     os.makedirs(results_dir, exist_ok=True)
 
     # Resume support (trainvocab.go:1395-1411, 1609-1642): a directory input
-    # picks up its newest checkpoint — finalrun_* before doublevocab_* before
-    # interval_*, mirroring the reference's scan order.  Any saved output
-    # (.tok, incl. the best-score files) is a valid dictionary because all
-    # intermediate formats are identical.
+    # resumes from its latest checkpoint.  Token counts shrink monotonically
+    # during pruning, so "latest" = the file with the *smallest* numeric
+    # suffix (lexicographic order is wrong: interval_995 sorts after
+    # interval_1002).  The token list is loaded from that checkpoint, while
+    # doublevocab_*/finalrun_* — like the reference — additionally restore
+    # the 2x-vocab resurrection snapshot and the final-run filename rather
+    # than replacing newer interval_ progress.
+    resume_double_path = None
+    resume_finalrun_path = None
     if os.path.isdir(dictionary_path):
-        names = sorted(os.listdir(dictionary_path))
-        for prefix in ("finalrun_", "doublevocab_", "interval_"):
-            hits = [n for n in names
-                    if n.startswith(prefix) and n.endswith(".tok")]
-            if hits:
-                dictionary_path = os.path.join(dictionary_path, hits[-1])
-                log.info("resuming from checkpoint %s", dictionary_path)
-                break
-        else:
+        def _suffix(name, prefix):
+            try:
+                return int(name[len(prefix):-len(".tok")])
+            except ValueError:
+                return None
+
+        def _best(prefix):
+            hits = []
+            for n in os.listdir(dictionary_path):
+                if n.startswith(prefix) and n.endswith(".tok"):
+                    s = _suffix(n, prefix)
+                    if s is not None:
+                        hits.append((s, n))
+            if not hits:
+                return None
+            return os.path.join(dictionary_path, min(hits)[1])
+
+        resume_double_path = _best("doublevocab_")
+        resume_finalrun_path = _best("finalrun_")
+        best_ckpt = (_best("interval_") or resume_finalrun_path
+                     or resume_double_path)
+        if best_ckpt is None:
             raise FileNotFoundError(
-                f"no finalrun_/doublevocab_/interval_ .tok in "
+                f"no interval_/finalrun_/doublevocab_ .tok in "
                 f"{dictionary_path}")
+        dictionary_path = best_ckpt
+        log.info("resuming from checkpoint %s", dictionary_path)
 
     dic = load_tokens_file(dictionary_path)
     using_capcode = dic["using_capcode"]
@@ -422,6 +456,16 @@ def train_vocab(dataset: bytes, dictionary_path, results_dir,
     double2: list[bytes] = []
     counter_multi_deletes: dict[bytes, int] = {}
     final_run_filename = None
+    # restore checkpoint side-state (reference trainvocab.go:1617-1637:
+    # doublevocab_ refills doubletokens, finalrun_ restores the final-run
+    # filename — without replacing the interval_ dictionary loaded above)
+    if resume_double_path is not None:
+        double_tokens = [t for t in load_tokens_file(
+            resume_double_path)["tokens"] if len(t) > 1]
+        within_vocab_x2 = True
+    if resume_finalrun_path is not None:
+        final_run_filename = resume_finalrun_path
+        reached_vocab = True
     interval10 = 0
     last_interval = None
     justreset = False
