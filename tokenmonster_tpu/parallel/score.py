@@ -183,13 +183,15 @@ def exact_score_geometry(max_strip_len: int, chunk: int):
 def make_exact_score_step(mesh: Mesh, chunk: int, lanes: int,
                           dispatches: int, n_ids_cap: int,
                           has_delete: bool, delete_token: int,
-                          lil_off: int = 1, axis: str = "data",
+                          lil_off: int = 1, axis="data",
                           engine: str = "decision"):
     """Jitted mesh-sharded exact scorer: one whole strip per device per call.
 
     step(text (n_dev, B) u8, n (n_dev,) i32, *tables) ->
       (scores i32[n_ids_cap], n_tokens i32, miss_mask i32[256], sync_ok)
-    all psum/all-reduced over the mesh.
+    all psum/all-reduced over the mesh.  ``axis`` may be a single mesh axis
+    name or a tuple — e.g. ("hosts", "data") reduces intra-host partials
+    over ICI and the cross-host combine over DCN.
     """
     from ..ops.scan import MARGIN, device_pipeline
     from ..ops.stitch import device_stitch_score
@@ -229,10 +231,13 @@ def make_exact_score_step(mesh: Mesh, chunk: int, lanes: int,
 
     def step(text, n, *tables):
         scores, n_tok, mm, ok = one_strip(text[0], n[0], *tables)
+        # sync_ok across every device: count-of-ok == device count
+        n_dev_total = jax.lax.psum(jnp.int32(1), axis)
+        ok_all = jax.lax.psum(ok.astype(jnp.int32), axis) == n_dev_total
         return (jax.lax.psum(scores, axis),
                 jax.lax.psum(n_tok, axis),
                 jax.lax.psum(mm, axis),
-                jnp.all(jax.lax.all_gather(ok, axis)))
+                ok_all)
 
     spec_text = P(axis, None)
     spec_n = P(axis)
