@@ -99,6 +99,11 @@ def get_lib():
             lib.tm_decode.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p]
+            lib.tm_filter_batch.restype = None
+            lib.tm_filter_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p]
             _lib = lib
         except Exception as e:
             import logging
@@ -299,6 +304,31 @@ def native_decode(ids: np.ndarray, blob: np.ndarray, offs: np.ndarray,
     m = lib.tm_decode(ids.ctypes.data, len(ids), blob.ctypes.data,
                       offs.ctypes.data, n_tokens, out.ctypes.data)
     return out[:m].tobytes()
+
+
+def native_filter_batch(keys2d: np.ndarray, level: int, charset: int,
+                        capcode: int, words_per_token: int = 0,
+                        threads: int | None = None):
+    """Batch mode-filter classification (tm_filter_batch): keys2d is a
+    (U, L) uint8 array of fixed-length candidate substrings; returns
+    int32[U] kept-prefix lengths (-1 = rejected) or None when the native
+    library is unavailable.  Exact port of train/filters.py."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ensure_tables(lib)
+    u, length = keys2d.shape
+    if u == 0:
+        return np.zeros(0, np.int32)
+    blob = np.ascontiguousarray(keys2d, np.uint8)
+    offs = (np.arange(u + 1, dtype=np.int64) * length)
+    out = np.empty(u, np.int32)
+    if threads is None:
+        threads = os.cpu_count() or 1
+    lib.tm_filter_batch(blob.ctypes.data, offs.ctypes.data, u,
+                        level, charset, capcode, words_per_token,
+                        threads, out.ctypes.data)
+    return out
 
 
 def native_capcode_decode(data: bytes, state: "np.ndarray | None" = None):

@@ -1344,4 +1344,711 @@ void tm_ac_export(void* hp, uint32_t* dfa_out, uint32_t* out_out) {
 
 void tm_ac_free(void* hp) { delete (AcHandle*)hp; }
 
+// ---------------- candidate-token mode filters ----------------
+//
+// Native port of train/filters.py (itself a line-by-line port of
+// training/getalltokens.go:462-1105): clean / balanced / consistent /
+// strict.  This is getalltokens' hot loop at trainer scale — the reference
+// runs these in a threaded filter pool (getalltokens.go:1236-1314); here a
+// batch call classifies every unique substring in one native pass.
+
+namespace {
+namespace filt {
+
+constexpr uint32_t FRUNE_ERR = 0xFFFD;
+
+// Go utf8.DecodeRune semantics: invalid -> (U+FFFD, 1); end -> (U+FFFD, 0).
+inline uint32_t fdec(const uint8_t* b, int64_t n, int64_t i, int* sz) {
+  if (i >= n) { *sz = 0; return FRUNE_ERR; }
+  int l;
+  uint32_t r = dec(b + i, n - i, &l);
+  if (r >= 0x110000) { *sz = 1; return FRUNE_ERR; }
+  *sz = l;
+  return r;
+}
+
+inline uint32_t fdec_last(const uint8_t* b, int64_t n, int* sz) {
+  if (n == 0) { *sz = 0; return FRUNE_ERR; }
+  if (b[n - 1] < 0x80) { *sz = 1; return b[n - 1]; }
+  int64_t start = n - 1;
+  int64_t lim = n - 4 < 0 ? 0 : n - 4;
+  while (start >= lim && (b[start] & 0xC0) == 0x80) start--;
+  if (start < 0 || (b[start] & 0xC0) == 0x80) { *sz = 1; return FRUNE_ERR; }
+  int l;
+  uint32_t r = fdec(b, n, start, &l);
+  if (start + l != n) { *sz = 1; return FRUNE_ERR; }
+  *sz = l;
+  return r;
+}
+
+inline bool is_delim(uint32_t r) {
+  switch (r) {
+    case 34: case 39: case 40: case 41: case 91: case 93: case 96:
+    case 123: case 125: case 171: case 187: case 8216: case 8217:
+    case 8219: case 8220: case 8221: case 8222: case 8223: case 8243:
+    case 8249: case 8250: case 10075: case 10076: case 10077: case 10078:
+    case 10094: case 10095: case 11816: case 11817: case 12296: case 12297:
+    case 12298: case 12299: case 12300: case 12301: case 12302: case 12303:
+    case 12308: case 12309: case 12317: case 12318: case 65378: case 65379:
+      return true;
+    default:
+      return false;
+  }
+}
+inline bool is_delim2(uint32_t r) {
+  return r == 60 || r == 62 || is_delim(r);
+}
+inline uint32_t pair_closer(uint32_t r) {
+  switch (r) {
+    case 34: return 34;   case 39: return 39;   case 40: return 41;
+    case 91: return 93;   case 96: return 96;   case 123: return 125;
+    case 171: return 187; case 8216: return 8217; case 8219: return 8217;
+    case 8220: return 8221; case 8222: return 8221; case 8223: return 8221;
+    case 8243: return 8243; case 8249: return 8250; case 10075: return 10076;
+    case 10077: return 10078; case 10094: return 10095;
+    case 11816: return 11817; case 12296: return 12297;
+    case 12298: return 12299; case 12300: return 12301;
+    case 12302: return 12303; case 12308: return 12309;
+    case 12317: return 12318; case 65378: return 65379;
+    default: return 0;
+  }
+}
+
+struct Ctx {
+  int charset, capcode, words_per_token;
+
+  // Python Ctx.decode: charset 2 returns (0xFFFD, 0) — filtered modes are
+  // UTF-8-only, matching train/filters.py exactly
+  inline uint32_t decode(const uint8_t* b, int64_t n, int64_t i,
+                         int* sz) const {
+    if (charset == 2) { *sz = 0; return FRUNE_ERR; }
+    return fdec(b, n, i, sz);
+  }
+
+  inline bool is_letter(uint32_t r) const {
+    uint8_t p = r < 0x110000 ? g_props[r] : 0;
+    if ((p & P_LETTER) && (capcode != 2 || (r != 67 && r != 87 && r != 68)))
+      return true;
+    return (p & P_MODIFIER) != 0;
+  }
+  inline bool is_alphanum(uint32_t r) const {
+    uint8_t p = r < 0x110000 ? g_props[r] : 0;
+    if ((p & P_LETTER) && (capcode != 2 || (r != 67 && r != 87 && r != 68)))
+      return true;
+    return (p & (P_NUMBER | P_MODIFIER)) != 0;
+  }
+  inline bool is_number(uint32_t r) const {
+    return r < 0x110000 && (g_props[r] & P_NUMBER);
+  }
+  inline bool is_space(uint32_t r) const {
+    return r < 0x110000 && (g_props[r] & P_WHITESPACE);
+  }
+  inline bool is_capcode(uint32_t r) const {
+    return (capcode == 1 && r == 0x7F)
+           || (capcode == 2 && (r == 67 || r == 87 || r == 68));
+  }
+  inline bool is_other(uint32_t r) const { return !is_alphanum(r); }
+
+  // strip_last_punc / strip_open_close operate on a (ptr, len) view
+  inline int64_t strip_last_punc(const uint8_t* b, int64_t n) const {
+    int nlast;
+    uint32_t rlast = fdec_last(b, n, &nlast);
+    if (is_other(rlast)) {
+      if (is_space(rlast) || is_delim(rlast) || is_capcode(rlast)) return n;
+      return n - nlast;
+    }
+    return n;
+  }
+
+  // returns true when stripped; updates *off/*len to the inner slice
+  inline bool strip_open_close(const uint8_t* b, int64_t* off, int64_t* len,
+                               uint32_t r, int n) const {
+    const uint8_t* p = b + *off;
+    int64_t ln = *len;
+    if (ln <= n) return false;
+    int64_t drop = n;
+    if (r == 0x20) {
+      int nx;
+      r = decode(p, ln, 1, &nx);
+      drop += nx;
+      if (ln <= drop) return false;
+    }
+    uint32_t closer = pair_closer(r);
+    if (closer == 0) return false;
+    int n2;
+    uint32_t last = fdec_last(p, ln, &n2);
+    if (last == closer && ln - n2 >= drop) {
+      *off += drop;
+      *len = ln - drop - n2;
+      return true;
+    }
+    return false;
+  }
+
+  inline bool words_exceeded(const uint8_t* b, int64_t n, int64_t i0) const {
+    if (words_per_token <= 0) return false;
+    bool in_space = true;
+    int n_sp = 0;
+    int64_t i = i0;
+    while (i < n) {
+      int n3;
+      uint32_t r3 = decode(b, n, i, &n3);
+      if (n3 <= 0) break;
+      if (is_space(r3)) {
+        if (!in_space) {
+          in_space = true;
+          if (++n_sp >= words_per_token) return true;
+        }
+      } else {
+        in_space = false;
+      }
+      i += n3;
+    }
+    return false;
+  }
+};
+
+// Every filter returns the kept prefix length (key minus its lookahead
+// rune) or -1 when rejected — mirroring (token, ok) in filters.py.
+
+int32_t filter_clean(const Ctx& c, const uint8_t* key, int64_t klen) {
+  int nnext;
+  uint32_t rnext = fdec_last(key, klen, &nnext);
+  int64_t tlen = klen - nnext;
+  if (tlen < 2) return -1;
+  int64_t trimmed = tlen;
+
+  bool removed = false;
+  for (int64_t nn = tlen - 1; nn > 0; nn--) {
+    if (key[nn] != 0x0A && key[nn] != 0x0D) { tlen = nn + 1; break; }
+    removed = true;
+  }
+
+  int n_space = 0, n_newlines = 0, space_runs = 0, space_char = 0;
+  bool has_alpha = false, has_capcode = false, exists = false,
+       last_space = false, double_space = false, other = false,
+       first_space = false;
+  int64_t i = 0;
+  uint32_t r = FRUNE_ERR;
+  bool have_r = false;
+  while (i < tlen) {
+    int nr;
+    r = c.decode(key, tlen, i, &nr);
+    if (nr <= 0) break;
+    have_r = true;
+    if (c.is_letter(r) || c.is_number(r)) {
+      exists = true; has_alpha = true; last_space = false;
+    } else if (c.is_capcode(r)) {
+      has_capcode = true;
+    } else if (is_delim(r)) {
+      exists = true; last_space = false;
+    } else if (c.is_space(r)) {
+      if (i == 0) {
+        first_space = true;
+        if (r == 0x20) space_char = 1;
+      } else if (i == 1) {
+        space_char = 0;
+      }
+      n_space++;
+      if (r == 0x0A || r == 0x0D || r == 0x09) n_newlines++;
+      if (last_space) {
+        double_space = true;
+        if (has_alpha && n_space != n_newlines) return -1;
+      } else {
+        space_runs++;
+      }
+      last_space = true;
+    } else {
+      other = true; last_space = false;
+    }
+    i += nr;
+  }
+  (void)have_r;
+  space_runs -= space_char;
+  n_space -= space_char;
+  if (double_space && (exists || (other && space_runs > 1))) {
+    if ((r == 0x20 && other && !removed)
+        || (!last_space && !first_space && n_space > 3)
+        || (!(n_space == n_newlines && space_runs <= 1)
+            && !(n_space >= tlen - 1 && (!last_space || !first_space))))
+      return -1;
+  }
+  if (c.capcode != 0
+      && ((has_alpha || has_capcode || exists
+           || (other && c.is_alphanum(rnext)))
+          && r == 0x20 && !removed))
+    return -1;
+  return (int32_t)trimmed;
+}
+
+int32_t filter_balanced(const Ctx& c, const uint8_t* key, int64_t klen) {
+  int nnext;
+  uint32_t rnext = fdec_last(key, klen, &nnext);
+  int64_t tlen = klen - nnext;
+  if (tlen < 2) return -1;
+
+  int n_space = 0, n_newlines = 0, space_runs = 0;
+  bool has_alpha = false, has_capcode = false, exists = false,
+       last_space = false, double_space = false, other = false,
+       first_space = false, has_letter = false, space_char = false;
+  int64_t i = 0;
+  uint32_t r = FRUNE_ERR;
+  while (i < tlen) {
+    int nr;
+    r = c.decode(key, tlen, i, &nr);
+    if (nr <= 0) break;
+    if (c.is_letter(r)) {
+      exists = true; has_alpha = true; last_space = false; has_letter = true;
+    } else if (c.is_number(r)) {
+      exists = true; has_alpha = true; last_space = false;
+    } else if (c.is_capcode(r)) {
+      has_capcode = true;
+    } else if (is_delim(r)) {
+      exists = true; last_space = false;
+    } else if (c.is_space(r)) {
+      if (i == 0) {
+        first_space = true;
+        if (r == 0x20) space_char = true;
+      } else if (i == 1) {
+        space_char = false;
+      }
+      n_space++;
+      if (r == 0x0A || r == 0x0D || r == 0x09) n_newlines++;
+      if (last_space) {
+        double_space = true;
+        if (has_alpha) return -1;
+      } else {
+        space_runs++;
+      }
+      last_space = true;
+    } else {
+      other = true; last_space = false;
+    }
+    i += nr;
+  }
+  if (space_char) {
+    first_space = false;
+    space_runs--;
+    n_space--;
+  }
+  if (r == 0x0A || r == 0x0D) space_runs--;
+  if (double_space && (exists || (other && space_runs > 1))) {
+    if (has_alpha || (r == 0x20 && other)
+        || (exists && (n_space > 5
+                       || (n_space > 3 && n_space != n_newlines)))
+        || (!(n_space == n_newlines && space_runs <= 1)
+            && !(n_space >= tlen - 1 && (!last_space || !first_space))))
+      return -1;
+  }
+  if (has_alpha && c.capcode == 2 && c.is_capcode(r)) {
+    if (tlen < 3) return -1;
+    uint8_t b2 = key[tlen - 2], b3 = key[tlen - 3];
+    if (!((b2 == 0x2E || b2 == 0x2D)
+          || ((b2 == 68 || b2 == 127) && (b3 == 0x2E || b3 == 0x2D))))
+      return -1;
+  }
+  if (c.capcode != 0 && (has_alpha || has_capcode) && c.is_space(r)) return -1;
+  if (c.capcode != 0 && (other || exists) && r == 0x20) return -1;
+  if (has_letter && c.is_letter(rnext)
+      && (n_space >= 2 || (space_char && n_space >= 1)
+          || ((n_space == 1 || (n_space == 0 && space_char))
+              && key[0] != 0x20)))
+    return -1;
+  return (int32_t)tlen;
+}
+
+int32_t filter_consistent(const Ctx& c, const uint8_t* key, int64_t klen) {
+  int nnext;
+  uint32_t rnext = fdec_last(key, klen, &nnext);
+  int64_t trimmed = klen - nnext;
+  if (trimmed < 2) return -1;
+
+  // (off, tlen) is the working slice of key[0:trimmed]
+  int64_t off = 0, tlen = trimmed;
+  int n1, n2 = 0;
+  uint32_t r1 = c.decode(key + off, tlen, 0, &n1);
+  uint32_t r2 = FRUNE_ERR;
+  if (tlen > n1) {
+    if (c.words_exceeded(key + off, tlen, n1)) return -1;
+    r2 = c.decode(key + off, tlen, n1, &n2);
+  } else {
+    return (int32_t)trimmed;  // single multi-byte character
+  }
+
+  bool open_close_stripped = c.strip_open_close(key, &off, &tlen, r1, n1);
+  if (open_close_stripped) {
+    if (tlen == 0) return (int32_t)trimmed;
+    r1 = c.decode(key + off, tlen, 0, &n1);
+    if (tlen > n1) {
+      r2 = c.decode(key + off, tlen, n1, &n2);
+    } else {
+      return (int32_t)trimmed;
+    }
+  }
+
+  if (c.is_capcode(r1) && (c.is_capcode(r2) || r2 == 0x20)) {
+    if (r2 == 0x20) {
+      off += 1; tlen -= 1;
+      r1 = 0x20; n1 = 1;
+    } else {
+      off += 2; tlen -= 2;
+      r1 = c.decode(key + off, tlen, 0, &n1);
+    }
+    if (tlen > n1) {
+      r2 = c.decode(key + off, tlen, n1, &n2);
+    } else {
+      return (int32_t)trimmed;
+    }
+  }
+
+  const uint8_t* t = key + off;
+
+  if (r1 == 0x20 && c.is_letter(r2)) {
+    bool apos = false, space = false, has_space = false;
+    int hyphenok = 0;
+    int64_t sl = c.strip_last_punc(t, tlen);
+    uint32_t r3 = FRUNE_ERR;
+    bool any3 = false;
+    int64_t i = n1 + n2;
+    while (i < sl) {
+      int n3;
+      r3 = c.decode(t, sl, i, &n3);
+      if (n3 <= 0) break;
+      any3 = true;
+      if (c.is_letter(r3) || c.is_number(r3)) {
+        space = apos = false; hyphenok = 0;
+      } else if (r3 == 0x20) {
+        if (space) return -1;
+        space = true; apos = false; has_space = true; hyphenok = 0;
+      } else if (r3 == APOS || r3 == APOS2) {
+        if (apos) return -1;
+        apos = true; space = false;
+      } else {
+        space = apos = false;
+        if (r3 == 0x2D || r3 == 0x2E || r3 == 0x5F) {
+          if (hyphenok == 0) hyphenok = 1; else return -1;
+        } else if (c.is_capcode(r3)) {
+          if (hyphenok == 1) hyphenok = 2;
+          else if (hyphenok == 2) hyphenok = 3;
+        } else {
+          return -1;
+        }
+      }
+      i += n3;
+    }
+    if (!any3) r3 = r2;
+    if (r3 == 0x20 || r3 == 0x2E || r3 == 0x2D
+        || (c.is_capcode(r3) && hyphenok <= 1))
+      return -1;
+    if (c.is_letter(rnext) && has_space) return -1;
+    return (int32_t)trimmed;
+  }
+
+  if (r1 == 0x20 && c.is_number(r2)) {
+    int64_t sl = c.strip_last_punc(t, tlen);
+    for (int64_t i = n1 + n2; i < sl;) {
+      int n3;
+      uint32_t r3 = c.decode(t, sl, i, &n3);
+      if (n3 <= 0 || !c.is_number(r3)) return -1;
+      i += n3;
+    }
+    return (int32_t)trimmed;
+  }
+
+  if (c.is_number(r1)) {
+    if (!c.is_number(r2)) return -1;
+    int64_t sl = c.strip_last_punc(t, tlen);
+    for (int64_t i = n1 + n2; i < sl;) {
+      int n3;
+      uint32_t r3 = c.decode(t, sl, i, &n3);
+      if (n3 <= 0 || !c.is_number(r3)) return -1;
+      i += n3;
+    }
+    return (int32_t)trimmed;
+  }
+
+  if (c.is_letter(r1) && !c.is_letter(r2)) return -1;
+  if (((r1 == APOS || r1 == APOS2) && c.is_letter(r2)) || c.is_letter(r1)) {
+    int64_t sl = c.strip_last_punc(t, tlen);
+    for (int64_t i = n1 + n2; i < sl;) {
+      int n3;
+      uint32_t r3 = c.decode(t, sl, i, &n3);
+      if (n3 <= 0 || !c.is_letter(r3)) return -1;
+      i += n3;
+    }
+    return (int32_t)trimmed;
+  }
+
+  int num_delim = 0, num_capcode = 0, num_space = 0, num_newline = 0,
+      num_other = 0;
+  int spaces_run = 0, max_spaces_run = 0, n_space_runs = 0;
+  bool last_space = false, gt = false;
+  uint32_t delim = 0;
+  bool have_delim = false;
+  int64_t delim_pos = 0;
+  uint32_t r3 = FRUNE_ERR;
+  int64_t i = 0;
+  while (i < tlen) {
+    int n3;
+    r3 = c.decode(t, tlen, i, &n3);
+    if (n3 <= 0) break;
+    if (c.is_alphanum(r3)) {
+      return -1;
+    } else if (is_delim2(r3)) {
+      num_delim++; delim = r3; have_delim = true; delim_pos = i;
+      last_space = false;
+    } else if (c.is_capcode(r3)) {
+      num_capcode++;
+    } else if (c.is_space(r3)) {
+      num_space++;
+      if (r3 == 0x0A || r3 == 0x0D || r3 == 0x09) num_newline++;
+      if (last_space) {
+        spaces_run++;
+      } else {
+        if (spaces_run > max_spaces_run) max_spaces_run = spaces_run;
+        n_space_runs++;
+        spaces_run = 1;
+        last_space = true;
+      }
+    } else {
+      num_other++;
+      last_space = false;
+      if (gt && r3 == 0x3C) return -1;
+      if (r3 == 0x3E) gt = true;
+    }
+    i += n3;
+  }
+  (void)have_delim;
+  if (spaces_run > max_spaces_run) max_spaces_run = spaces_run;
+  if (r3 == 0x20 && (num_other > 0 || num_capcode > 0 || num_delim > 0))
+    return -1;
+  if (c.is_capcode(r3)) {
+    if (tlen == 2 || (tlen <= 4 && num_capcode == 2)
+        || (num_other == 0 && num_delim == 0))
+      return (int32_t)trimmed;
+  }
+  if (max_spaces_run > 1
+      && (num_delim != 0 || num_capcode != 0 || num_other != 0)
+      && ((num_space != num_newline || (num_other + num_delim) > 3)
+          || n_space_runs > 1))
+    return -1;
+  if (num_delim > 1 || (num_delim > 0 && open_close_stripped)) return -1;
+  int other_and_space = num_other + num_space + num_capcode;
+  if (num_delim == 1) {
+    if (delim == 0x28 || delim == 0x5B || delim == 0x7B) {
+      for (int64_t i2 = 0; i2 < delim_pos; i2++) {
+        uint8_t bch = t[i2];
+        if (bch != 0x2C && bch != 0x2E && bch != 0x20 && bch != 0x0D
+            && bch != 0x0A)
+          return -1;
+      }
+    } else if (delim == 0x29 || delim == 0x5D || delim == 0x7D) {
+      for (int64_t i2 = delim_pos + 1; i2 < tlen; i2++) {
+        uint8_t bch = t[i2];
+        if (bch != 0x2C && bch != 0x2E && bch != 0x20 && bch != 0x0D
+            && bch != 0x0A)
+          return -1;
+      }
+    }
+    if (is_delim(r1)) {
+      if (tlen <= 3 && num_space <= 1) return (int32_t)trimmed;
+    } else {
+      if (other_and_space <= 1
+          || (tlen == 3 && (r1 == 0x20 || r2 == 0x20))
+          || r1 == 0x09)
+        return (int32_t)trimmed;
+    }
+    return -1;
+  }
+  return (int32_t)trimmed;
+}
+
+int32_t filter_strict(const Ctx& c, const uint8_t* key, int64_t klen) {
+  int nnext;
+  uint32_t rnext = fdec_last(key, klen, &nnext);
+  int64_t trimmed = klen - nnext;
+  if (trimmed < 2) return -1;
+  const uint8_t* t = key;
+  int64_t tlen = trimmed;
+
+  int n1, n2 = 0;
+  uint32_t r1 = c.decode(t, tlen, 0, &n1);
+  uint32_t r2 = FRUNE_ERR;
+  if (tlen > n1) {
+    if (c.words_exceeded(t, tlen, n1)) return -1;
+    r2 = c.decode(t, tlen, n1, &n2);
+  } else {
+    return (int32_t)trimmed;
+  }
+
+  if (r1 == 0x20 && c.is_letter(r2)) {
+    bool apos = false, space = false, has_space = false;
+    uint32_t r3 = FRUNE_ERR;
+    bool any3 = false;
+    int64_t i = n1 + n2;
+    while (i < tlen) {
+      int n3;
+      r3 = c.decode(t, tlen, i, &n3);
+      if (n3 <= 0) break;
+      any3 = true;
+      if (c.is_letter(r3)) {
+        space = apos = false;
+      } else if (r3 == 0x20) {
+        if (space) return -1;
+        has_space = true; space = true; apos = false;
+      } else if (r3 == APOS || r3 == APOS2) {
+        if (apos) return -1;
+        apos = true; space = false;
+      } else {
+        return -1;
+      }
+      i += n3;
+    }
+    if (!any3) r3 = r2;
+    if (r3 == 0x20) return -1;
+    if (c.is_letter(rnext) && has_space) return -1;
+    return (int32_t)trimmed;
+  }
+
+  if (r1 == 0x20 && c.is_number(r2)) {
+    for (int64_t i = n1 + n2; i < tlen;) {
+      int n3;
+      uint32_t r3 = c.decode(t, tlen, i, &n3);
+      if (n3 <= 0 || !c.is_number(r3)) return -1;
+      i += n3;
+    }
+    return (int32_t)trimmed;
+  }
+
+  if (c.is_number(r1)) {
+    if (!c.is_number(r2)) return -1;
+    for (int64_t i = n1 + n2; i < tlen;) {
+      int n3;
+      uint32_t r3 = c.decode(t, tlen, i, &n3);
+      if (n3 <= 0 || !c.is_number(r3)) return -1;
+      i += n3;
+    }
+    return (int32_t)trimmed;
+  }
+
+  if (c.is_letter(r1) && !c.is_letter(r2)) return -1;
+  if (((r1 == APOS || r1 == APOS2) && c.is_letter(r2)) || c.is_letter(r1)) {
+    for (int64_t i = n1 + n2; i < tlen;) {
+      int n3;
+      uint32_t r3 = c.decode(t, tlen, i, &n3);
+      if (n3 <= 0 || !c.is_letter(r3)) return -1;
+      i += n3;
+    }
+    return (int32_t)trimmed;
+  }
+
+  if (tlen == 2) {
+    if ((r1 == 0x28 && r2 == 0x29) || (r1 == 0x5B && r2 == 0x5D)
+        || (r1 == 0x7B && r2 == 0x7D) || (r1 == 0x22 && r2 == 0x22)
+        || (r1 == 0x27 && r2 == 0x27))
+      return (int32_t)trimmed;
+    if ((r1 == 0x2C || r2 == 0x2C || r1 == 0x2E) && !c.is_space(r2))
+      return (int32_t)trimmed;
+  }
+
+  int num_delim = 0, num_capcode = 0, num_space = 0, num_newline = 0,
+      num_other = 0;
+  int spaces_run = 0, max_spaces_run = 0, n_space_runs = 0;
+  bool last_space = false, gt = false;
+  uint32_t r3 = FRUNE_ERR;
+  int64_t i = 0;
+  while (i < tlen) {
+    int n3;
+    r3 = c.decode(t, tlen, i, &n3);
+    if (n3 <= 0) break;
+    if (c.is_alphanum(r3)) {
+      return -1;
+    } else if (is_delim(r3)) {
+      num_delim++;
+      last_space = false;
+    } else if (c.is_capcode(r3)) {
+      num_capcode++;
+    } else if (c.is_space(r3)) {
+      num_space++;
+      if (r3 == 0x0A || r3 == 0x0D) num_newline++;
+      if (last_space) {
+        spaces_run++;
+      } else {
+        if (spaces_run > max_spaces_run) max_spaces_run = spaces_run;
+        n_space_runs++;
+        spaces_run = 1;
+        last_space = true;
+      }
+    } else {
+      num_other++;
+      last_space = false;
+      if (gt && r3 == 0x3C) return -1;
+      if (r3 == 0x3E) gt = true;
+    }
+    i += n3;
+  }
+  if (spaces_run > max_spaces_run) max_spaces_run = spaces_run;
+
+  if (c.is_capcode(r3)
+      && (tlen == 2 || (tlen == 3 && num_capcode == 2)))
+    return (int32_t)trimmed;
+  if (num_space != tlen && r3 == 0x20) return -1;
+  if (max_spaces_run > 1
+      && (num_delim != 0 || num_capcode != 0 || num_other != 0)
+      && ((num_space != num_newline || num_other > 1 || n_space_runs > 1)
+          || (r3 != 0x0A && r3 != 0x0D && !c.is_capcode(r3))))
+    return -1;
+  int other_and_space = num_other + num_space + num_capcode;
+  if (num_delim > 1) return -1;
+  if (num_delim == 1) {
+    if (other_and_space == 0
+        || (other_and_space - num_capcode == 1 && r1 == 0x20))
+      return (int32_t)trimmed;
+    if (other_and_space == 1 && c.is_space(r1) && r1 != 0x09)
+      return (int32_t)trimmed;
+    return -1;
+  }
+  return (int32_t)trimmed;
+}
+
+}  // namespace filt
+}  // namespace
+
+// Batch-classify candidate substrings: for key i (bytes blob[offs[i] ..
+// offs[i+1])) write out_len[i] = kept prefix length, or -1 when the mode
+// filter rejects it.  level: 1 clean, 2 balanced, 3 consistent, 4 strict.
+// Threaded over keys (reference: getalltokens.go:1236-1314 filter pool).
+void tm_filter_batch(const uint8_t* blob, const int64_t* offs,
+                     int64_t n_keys, int level, int charset, int capcode,
+                     int words_per_token, int n_threads, int32_t* out_len) {
+  filt::Ctx ctx{charset, capcode, words_per_token};
+  auto run = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++) {
+      const uint8_t* key = blob + offs[i];
+      int64_t klen = offs[i + 1] - offs[i];
+      int32_t res;
+      switch (level) {
+        case 1: res = filt::filter_clean(ctx, key, klen); break;
+        case 2: res = filt::filter_balanced(ctx, key, klen); break;
+        case 3: res = filt::filter_consistent(ctx, key, klen); break;
+        case 4: res = filt::filter_strict(ctx, key, klen); break;
+        default: res = (int32_t)klen; break;
+      }
+      out_len[i] = res;
+    }
+  };
+  if (n_threads <= 1 || n_keys < 4096) {
+    run(0, n_keys);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t per = (n_keys + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    int64_t lo = t * per, hi = std::min<int64_t>(n_keys, lo + per);
+    if (lo >= hi) break;
+    threads.emplace_back(run, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

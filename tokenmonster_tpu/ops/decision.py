@@ -98,18 +98,24 @@ def decision_tables(m_tab, mb_tab, bb, p1, index1_t, index2_t, ids3,
     return jnp.stack([ctl0, ctl1]), jnp.stack([tok0, tok1])
 
 
-def follow_lanes(ctl, tok, n, chunk: int, n_lanes: int, overlap: int):
+def follow_lanes(ctl, tok, n, chunk: int, n_lanes: int, overlap: int,
+                 packed: bool = False):
     """Phase B: follow the decision chain per speculative chunk lane.
 
     Same output contract as ops/scan.py::scan_lanes — packed step records
     (rec) and emitted ids (tokens) of shape (T, L) plus the step count — so
-    the host stitcher is shared.  Each step is two gathers of L elements.
-    """
+    the host stitcher is shared.  Each step is two gathers of L elements,
+    or ONE with ``packed`` (token id folded into ctl bits 10..31 — valid
+    whenever every id < 2^22; decided statically by the caller)."""
     L = n_lanes
     T = chunk + overlap
     P = ctl.shape[1]
-    ctl_f = ctl.reshape(-1)
-    tok_f = tok.reshape(-1)
+    if packed:
+        ctl_f = (ctl | (tok << 10)).reshape(-1)
+        tok_f = None
+    else:
+        ctl_f = ctl.reshape(-1)
+        tok_f = tok.reshape(-1)
     starts = jnp.arange(L, dtype=jnp.int32) * chunk
     stops = jnp.minimum(starts + chunk + overlap, n)
 
@@ -124,7 +130,7 @@ def follow_lanes(ctl, tok, n, chunk: int, n_lanes: int, overlap: int):
         t, pos, fd, done, recs, toks = state
         at = fd * P + jnp.minimum(pos, P - 1)
         w = jnp.take(ctl_f, at)
-        tk = jnp.take(tok_f, at)
+        tk = (w >> 10) if packed else jnp.take(tok_f, at)
         new_pos = jnp.minimum(pos, n) + (w & 63).astype(jnp.int32)
         new_fd = ((w >> 6) & 1).astype(jnp.int32)
         has_tok = ((w & CTL_TOK) != 0) & ~done

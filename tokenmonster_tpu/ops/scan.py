@@ -427,7 +427,7 @@ def device_pipeline(text, n, dfa, dout, sdfa, sout, bb_byte,
                     p1, i1t, i2t, ids3, meta5=None, *, chunk: int,
                     n_lanes: int, has_delete: bool, has_unk: bool,
                     delete_token: int, unk_token: int, lil_off: int,
-                    engine: str = "decision"):
+                    engine: str = "decision", pack_follow: bool = False):
     """The full device tokenize pipeline for one dispatch (pure, jit/shard_map
     composable): phase-1 match tables for both automatons over the buffer
     (incl. margin), then the ungreedy engine over speculative chunk lanes.
@@ -467,7 +467,8 @@ def device_pipeline(text, n, dfa, dout, sdfa, sout, bb_byte,
         ctl, tokt = decision_tables(
             m_tab, mb_tab, bb, p1, i1t, i2t, ids3, n,
             has_delete, has_unk, unk_token, lil_off=lil_off, meta5=meta5)
-        return follow_lanes(ctl, tokt, n, chunk, n_lanes, OVERLAP_SCAN)
+        return follow_lanes(ctl, tokt, n, chunk, n_lanes, OVERLAP_SCAN,
+                            packed=pack_follow)
     return scan_lanes(
         m_tab, mb_tab, bb, p1, i1t, i2t, ids3,
         n, chunk, n_lanes, has_delete, has_unk, delete_token,
@@ -490,6 +491,9 @@ class TpuTokenizer:
         self.chunk = chunk
         self.engine = engine
         self.dv = DeviceVocab.build(vocab)
+        # fold token ids into the follow-phase ctl words (1 gather/step
+        # instead of 2) whenever every id fits in 22 bits
+        self.pack_follow = len(vocab.reverse) < (1 << 22)
         self._bb_byte = jnp.asarray(vocab.begin_byte.astype(np.int32))
         self._fused = {}
         self._fused_stitch = {}
@@ -509,7 +513,7 @@ class TpuTokenizer:
                 meta5, chunk=chunk, n_lanes=n_lanes, has_delete=has_delete,
                 has_unk=dv.has_unk, delete_token=dv.delete_token & 0xFFFFFF,
                 unk_token=dv.unk_token & 0xFFFFFF, lil_off=dv.lil_off,
-                engine=self.engine)
+                engine=self.engine, pack_follow=self.pack_follow)
 
         fn = jax.jit(device_tokenize)
         self._fused[n_lanes] = fn
@@ -527,15 +531,22 @@ class TpuTokenizer:
         inner = self._fused_fn(n_lanes)
         chunk = self.chunk
         dv = self.dv
-        out_cap = 2 * (chunk + OVERLAP_SCAN) * n_lanes
+        # stitch over a reduced record window: typical text emits ~1 record
+        # per 3.5-4.3 bytes, so chunk//2 + overlap rows cover it with margin;
+        # denser streams (t_final past the bound) fail sync_ok and take the
+        # exact host-stitch fallback
+        t_rec = chunk // 2 + OVERLAP_SCAN + 64
+        out_cap = 2 * t_rec * n_lanes
 
         def run(text, n, start0, last_lane, final, dfa, dout, sdfa, sout,
                 bb_byte, p1, i1t, i2t, ids3, meta5):
-            recs, toks, _t_final = inner(
+            recs, toks, t_final = inner(
                 text, n, dfa, dout, sdfa, sout, bb_byte, p1, i1t, i2t, ids3,
                 meta5)
-            return device_stitch(recs, toks, start0, last_lane, final,
-                                 dv.delete_token & 0xFFFFFF, out_cap)
+            out, count, missing, start_next, sync_ok = device_stitch(
+                recs[:t_rec], toks[:t_rec], start0, last_lane, final,
+                dv.delete_token & 0xFFFFFF, out_cap)
+            return out, count, missing, start_next, sync_ok & (t_final <= t_rec)
 
         fn = jax.jit(run)
         self._fused_stitch[n_lanes] = fn

@@ -234,20 +234,41 @@ def get_all_tokens(data: bytes, mode, charset: int = 1,
                         raw = key.tobytes()
                         micro_counter[raw] = micro_counter.get(raw, 0) + int(count)
                 else:
-                    # filter results are pure functions of the substring;
-                    # cache across chunks (text repeats heavily)
-                    cache = filter_cache
-                    get = cache.get
-                    for key, count in zip(keys, counts):
-                        raw = key.tobytes()
-                        hit = get(raw)
-                        if hit is None:
-                            tok, ok = filt(ctx, raw)
-                            hit = tok if (ok and 2 <= len(tok)
-                                          <= max_token_length) else b""
-                            cache[raw] = hit
-                        if hit:
-                            micro_counter[hit] = micro_counter.get(hit, 0) + int(count)
+                    # native batch filter (tm_filter_batch, threaded): one
+                    # call classifies every unique substring of this length
+                    # — the reference's threaded filter-pool equivalent
+                    # (getalltokens.go:1236-1314)
+                    kept_len = None
+                    try:
+                        from .. import native
+                        kept_len = native.native_filter_batch(
+                            keys, level, ctx.charset, ctx.capcode,
+                            ctx.words_per_token)
+                    except Exception:
+                        kept_len = None
+                    if kept_len is not None:
+                        ok = (kept_len >= 2) & (kept_len <= max_token_length)
+                        for key, count, kl in zip(keys[ok], counts[ok],
+                                                  kept_len[ok]):
+                            hit = key.tobytes()[:kl]
+                            micro_counter[hit] = (micro_counter.get(hit, 0)
+                                                  + int(count))
+                    else:
+                        # pure-Python fallback: filter results are cached
+                        # across chunks (text repeats heavily)
+                        cache = filter_cache
+                        get = cache.get
+                        for key, count in zip(keys, counts):
+                            raw = key.tobytes()
+                            hit = get(raw)
+                            if hit is None:
+                                tok, ok = filt(ctx, raw)
+                                hit = tok if (ok and 2 <= len(tok)
+                                              <= max_token_length) else b""
+                                cache[raw] = hit
+                            if hit:
+                                micro_counter[hit] = (micro_counter.get(hit, 0)
+                                                      + int(count))
             for k, v in micro_counter.items():
                 counter.add(k, v)
             if micro_chunks > 1 and mi < micro_chunks - 1:
