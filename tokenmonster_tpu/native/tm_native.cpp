@@ -2014,6 +2014,164 @@ int32_t filter_strict(const Ctx& c, const uint8_t* key, int64_t klen) {
 }  // namespace filt
 }  // namespace
 
+// ---------------- token occurrence counter ----------------
+//
+// Fixed-width (48-byte row = 40 token bytes + length + padding) counting
+// hash map for getalltokens' accumulation — the role of pansearch.Counter
+// with Build_With_Min pruning (getalltokens.go:1128-1157).  A Python dict
+// here is the scale killer: a diverse 20 MB micro-chunk yields tens of
+// millions of unique candidates.
+
+namespace {
+
+struct Counter48 {
+  static constexpr int KW = 6;  // 6 u64 words per key row
+  std::vector<uint64_t> keys;   // KW words per entry
+  std::vector<int64_t> counts;
+  std::vector<int64_t> slots;   // entry index + 1, 0 = empty
+  uint64_t mask = 0;
+
+  static inline uint64_t hash_row(const uint64_t* w) {
+    uint64_t h = 1469598103934665603ULL;
+    for (int i = 0; i < KW; i++) h = (h ^ w[i]) * 1099511628211ULL;
+    h ^= h >> 29;
+    h *= 0xBF58476D1CE4E5B9ULL;
+    h ^= h >> 32;
+    return h;
+  }
+
+  void rehash(uint64_t cap) {
+    slots.assign(cap, 0);
+    mask = cap - 1;
+    int64_t n = (int64_t)counts.size();
+    for (int64_t e = 0; e < n; e++) {
+      uint64_t at = hash_row(keys.data() + (size_t)e * KW) & mask;
+      while (slots[at]) at = (at + 1) & mask;
+      slots[at] = e + 1;
+    }
+  }
+
+  void add(const uint64_t* w, int64_t c) {
+    if (slots.empty() || counts.size() * 2 >= slots.size()) {
+      uint64_t cap = slots.empty() ? (1 << 16) : slots.size() * 2;
+      rehash(cap);
+    }
+    uint64_t at = hash_row(w) & mask;
+    while (true) {
+      int64_t e = slots[at];
+      if (!e) {
+        keys.insert(keys.end(), w, w + KW);
+        counts.push_back(c);
+        slots[at] = (int64_t)counts.size();
+        return;
+      }
+      const uint64_t* kw = keys.data() + (size_t)(e - 1) * KW;
+      if (std::memcmp(kw, w, KW * 8) == 0) {
+        counts[(size_t)e - 1] += c;
+        return;
+      }
+      at = (at + 1) & mask;
+    }
+  }
+
+  void prune(int64_t min_occur) {
+    int64_t n = (int64_t)counts.size();
+    int64_t out = 0;
+    for (int64_t e = 0; e < n; e++) {
+      if (counts[e] >= min_occur) {
+        if (out != e) {
+          std::memcpy(keys.data() + (size_t)out * KW,
+                      keys.data() + (size_t)e * KW, KW * 8);
+          counts[(size_t)out] = counts[(size_t)e];
+        }
+        out++;
+      }
+    }
+    keys.resize((size_t)out * KW);
+    counts.resize((size_t)out);
+    uint64_t cap = 1 << 16;
+    while (cap < (uint64_t)out * 4) cap <<= 1;
+    rehash(cap);
+  }
+};
+
+}  // namespace
+
+void* tm_counter_new() { return new Counter48(); }
+void tm_counter_free(void* h) { delete (Counter48*)h; }
+
+// rows: n * 48 bytes (40 token bytes zero-padded, byte 40 = length, 41..47
+// zero); counts: per-row occurrence counts.
+void tm_counter_add_batch(void* h, const uint8_t* rows, const int64_t* cnts,
+                          int64_t n) {
+  Counter48* c = (Counter48*)h;
+  for (int64_t i = 0; i < n; i++) {
+    uint64_t w[Counter48::KW];
+    std::memcpy(w, rows + (size_t)i * 48, 48);
+    c->add(w, cnts[i]);
+  }
+}
+
+void tm_counter_prune(void* h, int64_t min_occur) {
+  ((Counter48*)h)->prune(min_occur);
+}
+
+int64_t tm_counter_size(void* h) {
+  return (int64_t)((Counter48*)h)->counts.size();
+}
+
+void tm_counter_export(void* h, uint8_t* rows_out, int64_t* counts_out) {
+  Counter48* c = (Counter48*)h;
+  std::memcpy(rows_out, c->keys.data(), c->counts.size() * 48);
+  std::memcpy(counts_out, c->counts.data(), c->counts.size() * 8);
+}
+
+// One-pass candidate counting over pre-sorted windows: for every candidate
+// length, walk the shared-prefix runs of the sorted window order (runs are
+// maximal i-ranges with first_diff >= length), mode-filter the run's key
+// once, and accumulate (token, run_count) into the counter.  Replaces the
+// per-unique Python/numpy pipeline (extract -> filter -> pack -> add) with
+// ~100ns/unique of native work.  prefilter_min > 1 drops raw substrings
+// rarer than the micro-chunk floor before filtering (the same information-
+// loss class as the reference's per-micro Build_With_Min prune,
+// getalltokens.go:1128-1141).
+void tm_count_from_sorted(const uint8_t* data, int64_t n,
+                          const uint32_t* order, const uint8_t* first_diff,
+                          int len_lo, int len_hi, int level, int charset,
+                          int capcode, int words_per_token,
+                          int max_token_length, int64_t prefilter_min,
+                          void* counter_h, int n_threads) {
+  Counter48* counter = (Counter48*)counter_h;
+  filt::Ctx ctx{charset, capcode, words_per_token};
+  (void)n_threads;
+  for (int length = len_lo; length <= len_hi; length++) {
+    int64_t i = 0;
+    while (i < n) {
+      // run of windows sharing the first `length` bytes
+      int64_t j = i;
+      while (j < n - 1 && first_diff[j] >= length) j++;
+      int64_t count = j - i + 1;
+      const uint8_t* key = data + order[i];
+      i = j + 1;
+      if (count < prefilter_min) continue;
+      int32_t kept;
+      switch (level) {
+        case 0: kept = (int32_t)length; break;
+        case 1: kept = filt::filter_clean(ctx, key, length); break;
+        case 2: kept = filt::filter_balanced(ctx, key, length); break;
+        case 3: kept = filt::filter_consistent(ctx, key, length); break;
+        case 4: kept = filt::filter_strict(ctx, key, length); break;
+        default: kept = (int32_t)length; break;
+      }
+      if (kept < 2 || kept > max_token_length) continue;
+      uint64_t w[Counter48::KW] = {0, 0, 0, 0, 0, 0};
+      std::memcpy(w, key, (size_t)kept);
+      ((uint8_t*)w)[40] = (uint8_t)kept;
+      counter->add(w, count);
+    }
+  }
+}
+
 // Batch-classify candidate substrings: for key i (bytes blob[offs[i] ..
 // offs[i+1])) write out_len[i] = kept prefix length, or -1 when the mode
 // filter rejects it.  level: 1 clean, 2 balanced, 3 consistent, 4 strict.

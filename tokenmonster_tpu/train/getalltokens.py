@@ -57,6 +57,9 @@ class SortedWindows:
         n = len(data) - (MAX_TOKEN_LENGTH + 1)
         self.n = max(0, n)
         self.width = width
+        self.data = data
+        self.order_u32 = None      # native path: raw order/first_diff arrays
+        self.first_diff_u8 = None  # (sorted_w materialised lazily)
         if self.n == 0:
             return
         order = first_diff = None
@@ -65,6 +68,8 @@ class SortedWindows:
             built = native.native_sorted_windows(data, n, width)
             if built is not None:
                 order, first_diff = built
+                self.order_u32 = order
+                self.first_diff_u8 = first_diff
         except Exception:
             pass
         if order is None:
@@ -79,15 +84,32 @@ class SortedWindows:
             words = np.ascontiguousarray(wide).view(">u8").reshape(n, n_words)
             order = np.lexsort(tuple(words[:, i]
                                      for i in range(n_words - 1, -1, -1)))
-        windows = np.lib.stride_tricks.sliding_window_view(data, width)[:n]
-        self.sorted_w = np.ascontiguousarray(windows[order])
-        if first_diff is not None:
-            self.first_diff = first_diff.astype(np.int64)
-        else:
-            neq = self.sorted_w[1:] != self.sorted_w[:-1]
-            # first mismatching column between adjacent rows; width if equal
-            any_neq = neq.any(axis=1)
-            self.first_diff = np.where(any_neq, neq.argmax(axis=1), width)
+        self._order = order
+        self._first_diff_raw = first_diff
+        self._sorted_w = None
+        self._first_diff = None
+
+    @property
+    def sorted_w(self):
+        if self._sorted_w is None:
+            windows = np.lib.stride_tricks.sliding_window_view(
+                self.data, self.width)[:self.n]
+            self._sorted_w = np.ascontiguousarray(windows[self._order])
+        return self._sorted_w
+
+    @property
+    def first_diff(self):
+        if self._first_diff is None:
+            if self._first_diff_raw is not None:
+                self._first_diff = self._first_diff_raw.astype(np.int64)
+            else:
+                sw = self.sorted_w
+                neq = sw[1:] != sw[:-1]
+                # first mismatching column between adjacent rows; width if eq
+                any_neq = neq.any(axis=1)
+                self._first_diff = np.where(any_neq, neq.argmax(axis=1),
+                                            self.width)
+        return self._first_diff
 
     def uniques(self, length: int):
         """(keys_2d uint8 (U, length), counts int64) for one length."""
@@ -102,24 +124,103 @@ class SortedWindows:
 
 
 class TokenCounter:
-    """Counting map with min-occurrence pruning (pansearch.Counter role)."""
+    """Counting map with min-occurrence pruning (pansearch.Counter role).
+
+    Bulk accumulation goes through a native fixed-width hash counter
+    (tm_counter_*, 48-byte rows) when available — a Python dict collapses at
+    trainer scale (a diverse 20 MB micro-chunk yields tens of millions of
+    unique candidates).  Small adds (extraTokens) and the final export use a
+    plain dict; the native side is materialised into it on first read."""
 
     def __init__(self):
         self.counts: dict[bytes, int] = {}
+        self._h = None
+        self._lib = None
+        try:
+            from .. import native
+            lib = native.get_lib()
+            if lib is not None:
+                import ctypes
+                for name, res, args in (
+                        ("tm_counter_new", ctypes.c_void_p, []),
+                        ("tm_counter_free", None, [ctypes.c_void_p]),
+                        ("tm_counter_add_batch", None,
+                         [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                          ctypes.c_int64]),
+                        ("tm_counter_prune", None,
+                         [ctypes.c_void_p, ctypes.c_int64]),
+                        ("tm_counter_size", ctypes.c_int64,
+                         [ctypes.c_void_p]),
+                        ("tm_counter_export", None,
+                         [ctypes.c_void_p, ctypes.c_void_p,
+                          ctypes.c_void_p])):
+                    fn = getattr(lib, name)
+                    fn.restype = res
+                    fn.argtypes = args
+                self._lib = lib
+                self._h = lib.tm_counter_new()
+        except Exception:
+            self._h = None
+
+    def __del__(self):
+        h, self._h = self._h, None
+        if h and self._lib is not None:
+            self._lib.tm_counter_free(h)
 
     def add(self, token: bytes, count: int = 1):
         self.counts[token] = self.counts.get(token, 0) + count
 
+    def add_rows(self, rows48: np.ndarray, cnts: np.ndarray):
+        """Accumulate (U, 48) uint8 token rows (40 token bytes zero-padded,
+        byte 40 = length, rest zero) with int64 counts."""
+        if len(rows48) == 0:
+            return
+        if self._h:
+            rows48 = np.ascontiguousarray(rows48, np.uint8)
+            cnts = np.ascontiguousarray(cnts, np.int64)
+            self._lib.tm_counter_add_batch(
+                self._h, rows48.ctypes.data, cnts.ctypes.data, len(rows48))
+        else:
+            lens = rows48[:, 40]
+            for row, ln, c in zip(rows48, lens, cnts):
+                t = row[:ln].tobytes()
+                self.counts[t] = self.counts.get(t, 0) + int(c)
+
+    def _materialize(self):
+        h, self._h = self._h, None
+        if not h:
+            return
+        m = int(self._lib.tm_counter_size(h))
+        rows = np.empty((m, 48), np.uint8)
+        cnts = np.empty(m, np.int64)
+        if m:
+            self._lib.tm_counter_export(h, rows.ctypes.data, cnts.ctypes.data)
+        self._lib.tm_counter_free(h)
+        get = self.counts.get
+        for row, c in zip(rows, cnts):
+            t = row[:row[40]].tobytes()
+            self.counts[t] = get(t, 0) + int(c)
+
     def build_with_min(self, min_occur: int, keep_filter=None):
+        if self._h and keep_filter is None:
+            if min_occur > 1:
+                self._lib.tm_counter_prune(self._h, min_occur)
+            if min_occur > 1 and self.counts:
+                self.counts = {k: v for k, v in self.counts.items()
+                               if v >= min_occur}
+            return
+        self._materialize()
         if min_occur > 1 or keep_filter is not None:
             self.counts = {
                 k: v for k, v in self.counts.items()
                 if v >= min_occur and (keep_filter is None or keep_filter(k))}
 
     def __len__(self):
+        self._materialize()
         return len(self.counts)
 
     def keys_sorted(self):
+        self._materialize()
         return sorted(self.counts, key=lambda k: (len(k), k))
 
 
@@ -215,68 +316,125 @@ def get_all_tokens(data: bytes, mode, charset: int = 1,
             if usable > 0:
                 counts_b = np.bincount(micro[:usable], minlength=256)
                 char_table += counts_b
-            micro_counter: dict[bytes, int] = {}
             sw = SortedWindows(micro, max(lengths) if len(micro) else 0)
-            for length in lengths:
-                keys, counts = sw.uniques(length)
-                if len(keys) == 0:
-                    continue
-                if prefilter_min_raw > 1 and level != 0:
-                    # prune rare raw substrings before the (expensive) shape
-                    # filter — same information loss class as the reference's
-                    # per-micro-chunk min-occurrence prune
-                    keep_raw = counts >= prefilter_min_raw
-                    keys, counts = keys[keep_raw], counts[keep_raw]
-                    if len(keys) == 0:
-                        continue
-                if level == 0:
-                    for key, count in zip(keys, counts):
-                        raw = key.tobytes()
-                        micro_counter[raw] = micro_counter.get(raw, 0) + int(count)
-                else:
-                    # native batch filter (tm_filter_batch, threaded): one
-                    # call classifies every unique substring of this length
-                    # — the reference's threaded filter-pool equivalent
-                    # (getalltokens.go:1236-1314)
-                    kept_len = None
-                    try:
-                        from .. import native
-                        kept_len = native.native_filter_batch(
-                            keys, level, ctx.charset, ctx.capcode,
-                            ctx.words_per_token)
-                    except Exception:
-                        kept_len = None
-                    if kept_len is not None:
-                        ok = (kept_len >= 2) & (kept_len <= max_token_length)
-                        for key, count, kl in zip(keys[ok], counts[ok],
-                                                  kept_len[ok]):
-                            hit = key.tobytes()[:kl]
-                            micro_counter[hit] = (micro_counter.get(hit, 0)
-                                                  + int(count))
-                    else:
-                        # pure-Python fallback: filter results are cached
-                        # across chunks (text repeats heavily)
-                        cache = filter_cache
-                        get = cache.get
-                        for key, count in zip(keys, counts):
-                            raw = key.tobytes()
-                            hit = get(raw)
-                            if hit is None:
-                                tok, ok = filt(ctx, raw)
-                                hit = tok if (ok and 2 <= len(tok)
-                                              <= max_token_length) else b""
-                                cache[raw] = hit
-                            if hit:
-                                micro_counter[hit] = (micro_counter.get(hit, 0)
-                                                      + int(count))
-            for k, v in micro_counter.items():
-                counter.add(k, v)
+            # fused native pass: one call walks every length's shared-prefix
+            # runs of the sorted order, filters and accumulates — no
+            # per-unique Python or numpy materialisation
+            if (counter._h and sw.n > 0 and sw.order_u32 is not None
+                    and native_count_from_sorted(
+                        micro, sw, min(lengths), max(lengths), level,
+                        ctx, max_token_length, prefilter_min_raw, counter)):
+                pass
+            else:
+                _count_micro_python(sw, lengths, level, ctx, filt,
+                                    filter_cache, counter, max_token_length,
+                                    prefilter_min_raw)
             if micro_chunks > 1 and mi < micro_chunks - 1:
                 counter.build_with_min(min_occur_micro_chunk)
         if ci < n_chunks - 1:
             counter.build_with_min(min_occur_chunk)
         pos += len(chunk)
 
+    return _finish_get_all_tokens(
+        counter, char_table, data, level, using_capcode, charset, normalizer,
+        only_latin, only_valid, min_occur_total, min_occur_singles,
+        add_extra_tokens)
+
+
+def native_count_from_sorted(micro, sw, len_lo, len_hi, level, ctx,
+                             max_token_length, prefilter_min_raw, counter):
+    """Invoke tm_count_from_sorted; returns True on success."""
+    try:
+        from .. import native
+        lib = native.get_lib()
+        if lib is None:
+            return False
+        native.ensure_tables(lib)
+        import ctypes
+        if not hasattr(lib, "_count_sorted_bound"):
+            lib.tm_count_from_sorted.restype = None
+            lib.tm_count_from_sorted.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
+            lib._count_sorted_bound = True
+        data = np.ascontiguousarray(micro, np.uint8)
+        order = np.ascontiguousarray(sw.order_u32, np.uint32)
+        fd = np.ascontiguousarray(sw.first_diff_u8, np.uint8)
+        lib.tm_count_from_sorted(
+            data.ctypes.data, sw.n, order.ctypes.data, fd.ctypes.data,
+            len_lo, len_hi, level, ctx.charset, ctx.capcode,
+            ctx.words_per_token, max_token_length,
+            max(1, prefilter_min_raw if level != 0 else 1),
+            counter._h, 1)
+        return True
+    except Exception:
+        return False
+
+
+def _count_micro_python(sw, lengths, level, ctx, filt, filter_cache,
+                counter, max_token_length, prefilter_min_raw):
+    for length in lengths:
+        keys, counts = sw.uniques(length)
+        if len(keys) == 0:
+            continue
+        if prefilter_min_raw > 1 and level != 0:
+            # prune rare raw substrings before the (expensive) shape
+            # filter — same information loss class as the reference's
+            # per-micro-chunk min-occurrence prune
+            keep_raw = counts >= prefilter_min_raw
+            keys, counts = keys[keep_raw], counts[keep_raw]
+            if len(keys) == 0:
+                continue
+        if level == 0:
+            kept_len = np.full(len(keys), length, np.int32)
+        else:
+            # native batch filter (tm_filter_batch, threaded): one
+            # call classifies every unique substring of this length
+            # — the reference's threaded filter-pool equivalent
+            # (getalltokens.go:1236-1314)
+            kept_len = None
+            try:
+                from .. import native
+                kept_len = native.native_filter_batch(
+                    keys, level, ctx.charset, ctx.capcode,
+                    ctx.words_per_token)
+            except Exception:
+                kept_len = None
+            if kept_len is None:
+                # pure-Python fallback: filter results are cached
+                # across chunks (text repeats heavily)
+                cache = filter_cache
+                get = cache.get
+                kept_len = np.empty(len(keys), np.int32)
+                for j, key in enumerate(keys):
+                    raw = key.tobytes()
+                    hit = get(raw)
+                    if hit is None:
+                        tok, ok = filt(ctx, raw)
+                        hit = len(tok) if ok else -1
+                        cache[raw] = hit
+                    kept_len[j] = hit
+        ok = (kept_len >= 2) & (kept_len <= max_token_length)
+        if not ok.all():
+            keys, counts, kept_len = keys[ok], counts[ok], kept_len[ok]
+        if len(keys) == 0:
+            continue
+        u = len(keys)
+        rows = np.zeros((u, 48), np.uint8)
+        w = min(keys.shape[1], 40)
+        rows[:, :w] = keys[:, :w]
+        rows[:, :40] *= (np.arange(40)[None, :]
+                         < kept_len[:, None]).astype(np.uint8)
+        rows[:, 40] = kept_len
+        counter.add_rows(rows, counts.astype(np.int64))
+
+
+def _finish_get_all_tokens(counter, char_table, data, level, using_capcode,
+                           charset, normalizer, only_latin, only_valid,
+                           min_occur_total, min_occur_singles,
+                           add_extra_tokens):
     # final trim + validity filters (getalltokens.go:1932-1958)
     keep = None
     if only_latin and only_valid:
