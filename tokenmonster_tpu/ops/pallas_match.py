@@ -1,0 +1,248 @@
+"""Pallas longest-match kernel: VMEM hash-table probes in position layout.
+
+Replaces the XLA AC-DFA match phase (ops/match.py), whose 2 scalar gathers
+per byte cap it at ~27 MB/s on this TPU (XLA lowers gathers to ~94 M/s).
+Every byte position probes each key-length class's displaced hash table
+(ops/hashmatch.py).  Tables are FIELD-MAJOR: slot s lives at (s>>7, s&127)
+of every field plane, fields pack 3 key bytes each (f32-exact triples) plus
+the dictionary index.  A probe is then, per 128-position group:
+  lane-shuffle each field plane by the slot lanes (take_along_axis — the
+  fast Mosaic shuffle), mask with the slot-row one-hot, reduce over rows
+and the fetched triples are compared against window triples built from
+static text shifts — an EXACT match test, no fingerprint uncertainty.
+
+Everything stays in the (rows, 128) position layout: no transposes, no
+per-position row vectors, no MXU layout gymnastics.  Hashing is the u32
+polynomial recurrence (full-speed in Mosaic, ~1.8 G mul/s measured; never
+hash in XLA where u32 multiply runs ~7 M/s).
+
+Output: m_tab packed (idx << 6) | len, 0 = no match — the ops/match.py
+contract (longest-substring semantics of go/tokenmonster.go:1049,
+tokenmonster-cpp/src/tokenmonster.cpp:786-877).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .hashmatch import C1, C2, M_MULT, SEED, HashMatchTables
+
+TILE_ROWS = 8        # 128-position groups per grid step (1024 positions)
+MARGIN_ROWS = 1      # extra text rows visible per step (windows read <= 43)
+
+U32 = jnp.uint32
+
+
+def _pad_rows8(a):
+    """Pad a (..., R, 128) plane so R is a multiple of 8 (Mosaic's gather
+    lowering rejects sub-8-sublane operands)."""
+    r = a.shape[-2]
+    r8 = max(8, -(-r // 8) * 8)
+    if r8 == r:
+        return a
+    pad = np.zeros(a.shape[:-2] + (r8 - r, 128), a.dtype)
+    return np.concatenate([a, pad], axis=-2)
+
+
+def build_device_tables(tables: HashMatchTables):
+    """Device-resident arrays: per-class field planes + displacement planes
+    + the 256-entry single-byte table."""
+    field_tbls = [jnp.asarray(_pad_rows8(c.fields), jnp.float32)
+                  for c in tables.classes]
+    disp_tbls = []
+    for c in tables.classes:
+        B = 1 << c.b_bits
+        padded = np.zeros((max(1, -(-B // 128)) * 128,), np.float32)
+        padded[:B] = c.disp.astype(np.float32)
+        disp_tbls.append(jnp.asarray(_pad_rows8(padded.reshape(-1, 128)),
+                                     jnp.float32))
+    single_tbl = jnp.asarray(
+        (tables.single.astype(np.int64) + 1).astype(np.float32).reshape(2, 128))
+    return field_tbls, disp_tbls, single_tbl
+
+
+def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
+                      ablate: frozenset = frozenset()):
+    """fn(text u8[N]) -> m_tab u32[N].  N must be a multiple of
+    128*TILE_ROWS; the caller guarantees >= 128 zero bytes of padding after
+    real data (windows read ahead; an extra margin row is appended here).
+    ``ablate`` is a perf-debugging knob set: {"seq_sum", "one_field",
+    "no_probe", "no_disp"}."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    classes = tables.classes
+    n_cls = len(classes)
+    max_len = max((c.length for c in classes), default=1)
+    R_TOT = TILE_ROWS + MARGIN_ROWS
+    field_tbls, disp_tbls, single_tbl = build_device_tables(tables)
+
+    def kernel(n_ref, text_ref, *refs):
+        out_ref = refs[-1]
+        single_ref = refs[-2]
+        step = pl.program_id(0)
+        base_row = step * TILE_ROWS
+        t = text_ref[pl.ds(base_row, R_TOT), :].astype(jnp.int32)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R_TOT, 128), 1)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (R_TOT, 128), 0)
+        # absolute byte position of every element; matches must end <= n
+        # (the reference never matches past the valid length — the XLA
+        # pipeline enforces this with RESET sentinels, go/tokenmonster.go)
+        pos_abs = (base_row + rowi) * 128 + lane
+        n_valid = n_ref[0]
+        shift_cache = {0: t}
+
+        def shift(k):
+            """sh[p] = flat_text[p + k] in (R_TOT, 128) layout, k < 128."""
+            got = shift_cache.get(k)
+            if got is not None:
+                return got
+            a = pltpu.roll(t, 128 - k, 1)
+            c_ = pltpu.roll(a, R_TOT - 1, 0)     # next-row carry
+            out = jnp.where(lane < 128 - k, a, c_)
+            shift_cache[k] = out
+            return out
+
+        triple_cache = {}
+
+        def wtriple(j, nbytes):
+            """window triple j with nbytes (1..3) live bytes."""
+            got = triple_cache.get((j, nbytes))
+            if got is not None:
+                return got
+            v = shift(3 * j)
+            if nbytes >= 2:
+                v = v + shift(3 * j + 1) * 256
+            if nbytes >= 3:
+                v = v + shift(3 * j + 2) * 65536
+            triple_cache[(j, nbytes)] = v
+            return v
+
+        h = jnp.full((R_TOT, 128), SEED, U32)
+        best = jnp.zeros((R_TOT, 128), jnp.int32)
+
+        # length-1 keys: 256-entry direct table (2 x 128)
+        s_all = single_ref[:]
+        r0 = jnp.take_along_axis(
+            jnp.broadcast_to(s_all[0:1, :], (R_TOT, 128)), t & 127, axis=1)
+        r1 = jnp.take_along_axis(
+            jnp.broadcast_to(s_all[1:2, :], (R_TOT, 128)), t & 127, axis=1)
+        sidx1 = jnp.where(t < 128, r0, r1).astype(jnp.int32)
+        best = jnp.where((sidx1 > 0) & (pos_abs + 1 <= n_valid),
+                         ((sidx1 - 1) << 6) | 1, best)
+
+        def plane_lookup(plane_ref, prow, plane_lane):
+            """val[p] = plane[prow[p], plane_lane[p]] per 128-position group;
+            returns (R_TOT, 128).  take_along lane shuffle + row-one-hot
+            select-sum, all in position layout."""
+            plane = plane_ref[:]
+            PR = plane.shape[0]
+            rows_out = []
+            for gq in range(R_TOT):
+                sl = plane_lane[gq:gq + 1, :]
+                sr = prow[gq:gq + 1, :]
+                shuf = jnp.take_along_axis(
+                    plane, jnp.broadcast_to(sl, (PR, 128)), axis=1)
+                ohT = (jnp.broadcast_to(sr, (PR, 128))
+                       == jax.lax.broadcasted_iota(jnp.int32, (PR, 128), 0))
+                masked = jnp.where(ohT, shuf, 0.0)
+                if "seq_sum" in ablate:
+                    val = jnp.sum(masked, axis=0, keepdims=True)
+                else:
+                    # log-tree reduction over rows: Mosaic lowers a plain
+                    # axis-0 sum as PR sequential row adds; halving static
+                    # slices costs 2x elements total instead of PR passes
+                    cur = masked
+                    n_r = PR
+                    while n_r > 1:
+                        half = n_r // 2
+                        cur = cur[:half, :] + cur[half:n_r, :]
+                        n_r = half
+                    val = cur
+                rows_out.append(val)
+            return jnp.concatenate(rows_out, axis=0)
+
+        ci = 0
+        for l in range(1, max_len + 1):
+            h = (h * M_MULT + shift(l - 1).astype(U32)).astype(U32)
+            if ci >= n_cls or classes[ci].length != l:
+                continue
+            c = classes[ci]
+            fref = refs[ci]
+            dref = refs[n_cls + ci]
+            ci += 1
+
+            if c.b_bits:
+                bucket = ((h * C1).astype(U32)
+                          >> U32(32 - c.b_bits)).astype(jnp.int32)
+            else:
+                bucket = jnp.zeros((R_TOT, 128), jnp.int32)
+            g = (((h ^ U32(c.salt)) * C2).astype(U32)
+                 >> U32(32 - c.s_bits)).astype(jnp.int32)
+            if "no_disp" in ablate:
+                d = jnp.zeros((R_TOT, 128), jnp.int32)
+            else:
+                d = plane_lookup(dref, bucket >> 7,
+                                 bucket & 127).astype(jnp.int32)
+            slot = (g + d) & ((1 << c.s_bits) - 1)
+            srow = slot >> 7
+            slane = slot & 127
+
+            if "no_probe" in ablate:
+                best = best ^ slot  # keep slot math alive
+                continue
+            nf = c.n_key_fields
+            if "one_field" in ablate:
+                nf = 1
+            mism = jnp.zeros((R_TOT, 128), jnp.bool_)
+            for j in range(nf):
+                nbytes = min(3, l - 3 * j)
+                got = plane_lookup(fref.at[j], srow, slane).astype(jnp.int32)
+                mism = mism | (got != wtriple(j, nbytes))
+            idx1 = plane_lookup(fref.at[c.n_key_fields], srow,
+                                slane).astype(jnp.int32)
+            hit = (~mism) & (idx1 > 0) & (pos_abs + l <= n_valid)
+            best = jnp.where(hit, ((idx1 - 1) << 6) | l, best)
+
+        out_ref[pl.ds(base_row, TILE_ROWS), :] = best[:TILE_ROWS]
+
+    @jax.jit
+    def match(text, n=None):
+        N = text.shape[0]
+        if n is None:
+            n = N
+        rows = N // 128
+        n_tiles = rows // TILE_ROWS
+        t2 = jnp.concatenate([
+            text.reshape(rows, 128),
+            jnp.zeros((MARGIN_ROWS, 128), text.dtype)])
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)
+                     for _ in range(2 * n_cls + 2)]
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(jnp.asarray(n, jnp.int32).reshape(1), t2,
+          *field_tbls, *disp_tbls, single_tbl)
+        return out.reshape(-1).astype(jnp.uint32)
+
+    return match
+
+
+def reference_match(tables: HashMatchTables, data: bytes) -> np.ndarray:
+    """Host oracle over the same tables (hashmatch.host_longest_match)."""
+    from .hashmatch import host_longest_match
+    out = np.zeros(len(data), np.uint32)
+    for p in range(len(data)):
+        idx, length = host_longest_match(tables, data, p)
+        if length:
+            out[p] = (idx << 6) | length
+    return out
