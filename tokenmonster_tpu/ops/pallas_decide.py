@@ -1,0 +1,261 @@
+"""Pallas decision kernel: the 6-branch ungreedy transition for every
+position, computed from the match table (ops/pallas_match.py output).
+
+Replaces the XLA dense decision engine (ops/decision.py), whose bounded-
+offset window lookups lower to 48-way select trees and whose per-token
+metadata needs HBM row-gathers (~61 ms/MB measured).  In-kernel, a window
+lookup tab[p + delta] (delta < 96) is two take_along_axis lane-shuffles +
+a select, and per-token metadata is fetched once per position from VMEM
+meta planes keyed by dictionary index (select-sum over ~400 rows).
+
+Scoring math is the exact reference formula (go/tokenmonster.go:1075-1084,
+tie order :1132-1133, fast path :1057) — mirrored from
+ops/scan.py::ungreedy_step's dense branch and tested against it.
+
+Scope: vocabularies WITHOUT a delete token (single fd row — e.g. the gpt2
+import).  Delete-token vocabularies route through the XLA decision engine.
+
+Outputs (ctl, tok) in the ops/decision.py contract:
+  ctl = delta(6b) | fd'<<6 | has_tok<<7 | has_del<<8 | miss<<9
+  tok = dict idx (20b) | branch w3 (2b) << 20 — fits the follow phase's
+        packed 22-bit token field; the stitch output resolves idx+branch to
+        the emitted id with one host gather per record (resolve_tokens).
+        Vocabularies with >= 2^20 entries route through the XLA engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+TILE_ROWS = 8
+EXTRA_ROWS = 2        # window lookups reach delta <= 95 plus row carry
+
+NEG = -1000000
+W3_SHIFT = 20
+
+
+def build_meta_planes(vocab):
+    """Per-token metadata planes keyed by dictionary index (idx -> row
+    idx>>7, lane idx&127).  Fields (f32-exact, <= 2^24):
+      0: flag | nwords<<8
+      1: len1 | len2<<8
+      2: aflag1 | anw1<<8 | aflag2<<16
+      3: anw2
+    Returns (planes (4, R, 128) f32, bb_plane (2,128) f32)."""
+    n = len(vocab.tokens)
+    i1c = np.minimum(vocab.index1.astype(np.int64), max(n - 1, 0))
+    i2c = np.minimum(vocab.index2.astype(np.int64), max(n - 1, 0))
+    has1 = vocab.len1 > 0
+    has2 = vocab.len2 > 0
+    af1 = np.where(has1, vocab.flag[i1c], 0).astype(np.int64)
+    anw1 = np.where(has1, vocab.nwords[i1c], 0).astype(np.int64)
+    af2 = np.where(has2, vocab.flag[i2c], 0).astype(np.int64)
+    anw2 = np.where(has2, vocab.nwords[i2c], 0).astype(np.int64)
+    f0 = vocab.flag.astype(np.int64) | (vocab.nwords.astype(np.int64) << 8)
+    f1 = vocab.len1.astype(np.int64) | (vocab.len2.astype(np.int64) << 8)
+    f2 = af1 | (anw1 << 8) | (af2 << 16)
+    f3 = anw2
+    R = max(8, -(-n // 128 // 8) * 8)
+    planes = np.zeros((4, R, 128), np.float32)
+    for j, f in enumerate((f0, f1, f2, f3)):
+        p = np.zeros(R * 128, np.float32)
+        p[:n] = f.astype(np.float32)
+        planes[j] = p.reshape(R, 128)
+    bb = np.zeros(256, np.float32)
+    bb[:] = vocab.begin_byte.astype(np.float32)
+    return planes, bb.reshape(2, 128)
+
+
+def make_decide_kernel(vocab, interpret: bool = False):
+    """fn(m_tab u32[N], text u8[N], n) -> (ctl u32[N], tok u32[N]).
+
+    N a multiple of 128*TILE_ROWS; m_tab/text padded with >= 2*128 zero
+    entries past real data (appended margin rows are added here)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    planes_np, bb_np = build_meta_planes(vocab)
+    planes = jnp.asarray(planes_np)
+    bb_tbl = jnp.asarray(bb_np)
+    has_unk = vocab.unk_token != 0xFFFFFF
+    unk_token = int(vocab.unk_token) & 0xFFFFFF
+    R2 = TILE_ROWS + EXTRA_ROWS
+    PR = planes_np.shape[1]
+
+    def kernel(n_ref, m_ref, t_ref, planes_ref, bb_ref, ctl_ref, tok_ref):
+        step = pl.program_id(0)
+        base_row = step * TILE_ROWS
+        m = m_ref[pl.ds(base_row, R2), :].astype(jnp.int32)
+        t = t_ref[pl.ds(base_row, R2), :].astype(jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R2, 128), 1)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (R2, 128), 0)
+        pos_abs = (base_row + rowi) * 128 + lane
+        n_valid = n_ref[0]
+
+        def win(arr, delta):
+            """arr[p + delta] for delta in [0, 96): two lane-shuffles over
+            the row and its successor + select (rows beyond R2-1 wrap to
+            garbage but only margin rows read them)."""
+            d = jnp.clip(delta, 0, 127)
+            nxt = pltpu.roll(arr, R2 - 1, 0)
+            i1 = (lane + d) & 127
+            a = jnp.take_along_axis(arr, i1, axis=1)
+            b = jnp.take_along_axis(nxt, i1, axis=1)
+            return jnp.where(lane + d < 128, a, b)
+
+        def meta_fetch(field, idx):
+            """planes[field][idx>>7, idx&127] per 128-position group."""
+            plane = planes_ref[field]
+            prow = idx >> 7
+            plane_lane = idx & 127
+            rows_out = []
+            for gq in range(R2):
+                sl = plane_lane[gq:gq + 1, :]
+                sr = prow[gq:gq + 1, :]
+                shuf = jnp.take_along_axis(
+                    plane, jnp.broadcast_to(sl, (PR, 128)), axis=1)
+                ohT = (jnp.broadcast_to(sr, (PR, 128))
+                       == jax.lax.broadcasted_iota(jnp.int32, (PR, 128), 0))
+                cur = jnp.where(ohT, shuf, 0.0)
+                n_r = PR
+                while n_r > 1:
+                    half = n_r // 2
+                    nxt = cur[:half, :] + cur[half:2 * half, :]
+                    if n_r % 2:
+                        tail = cur[2 * half:, :]
+                        if half == 1:
+                            nxt = nxt + tail
+                        else:
+                            nxt = jnp.concatenate(
+                                [nxt[:half - 1, :],
+                                 nxt[half - 1:half, :] + tail], axis=0)
+                    cur = nxt
+                    n_r = half
+                rows_out.append(cur)
+            return jnp.concatenate(rows_out, axis=0).astype(jnp.int32)
+
+        # begin-byte classes for every byte
+        b_all = bb_ref[:]
+        bb0 = jnp.take_along_axis(
+            jnp.broadcast_to(b_all[0:1, :], (R2, 128)), t & 127, axis=1)
+        bb1 = jnp.take_along_axis(
+            jnp.broadcast_to(b_all[1:2, :], (R2, 128)), t & 127, axis=1)
+        bb = jnp.where(t < 128, bb0, bb1).astype(jnp.int32)
+
+        cur_idx = m >> 6
+        cur_len = m & 63
+        found = m != 0
+
+        # per-position metadata of the current match
+        F0 = meta_fetch(0, cur_idx)
+        F1 = meta_fetch(1, cur_idx)
+        F2 = meta_fetch(2, cur_idx)
+        F3 = meta_fetch(3, cur_idx)
+        of, onw = F0 & 0xFF, F0 >> 8
+        olen1, olen2 = F1 & 0xFF, F1 >> 8
+        af1, anw1 = F2 & 0xFF, (F2 >> 8) & 0xFF
+        af2, anw2 = (F2 >> 16) & 0xFF, F3
+
+        bb_i1 = win(bb, cur_len)
+        do_eval = found & (pos_abs + cur_len < n_valid) & (
+            ((of & 32) == 0) | (bb_i1 != 12))
+
+        has_alt1 = do_eval & (olen1 > 0)
+        has_alt2 = has_alt1 & (olen2 > 0)
+        valid_first = [do_eval, has_alt1, has_alt2]
+        first_len = [cur_len, olen1, olen2]
+        delta3 = [jnp.where(valid_first[r], first_len[r], cur_len)
+                  for r in range(3)]
+        f_first = [of, af1, af2]
+        fnw = [onw, anw1, anw2]
+
+        m3 = [win(m, delta3[r]) for r in range(3)]
+        s_idx = [m3[r] >> 6 for r in range(3)]
+        s_len = [m3[r] & 63 for r in range(3)]
+        valid_nb = [valid_first[r] & (m3[r] != 0) for r in range(3)]
+        sF0 = [win(F0_w, delta3[r]) for r in range(3)
+               for F0_w in (F0,)]
+        sf = [sF0[r] & 0xFF for r in range(3)]
+        snw = [sF0[r] >> 8 for r in range(3)]
+        nb_nb = [win(bb, delta3[r] + s_len[r]) for r in range(3)]
+
+        NEGS = jnp.int32(NEG)
+        scores = []
+        for r in range(3):
+            bl = first_len[r] + s_len[r]
+            base = (bl + (f_first[r] >> 7) + (sf[r] >> 7)
+                    + jnp.maximum(fnw[r] - 1, 0) + jnp.maximum(snw[r] - 1, 0)
+                    + ((sf[r] >> 2) & 1) + ((nb_nb[r] >> 2) & 1)
+                    + (fnw[r] + snw[r] + (nb_nb[r] >> 3)) * 100)
+            ded = ((f_first[r] & 1 & (sf[r] >> 1)) * 103
+                   + ((f_first[r] >> 3) & 1 & (sf[r] >> 4)) * 100
+                   + (sf[r] & 1 & nb_nb[r]) * 3)
+            if r > 0:
+                ded = ded + jnp.where(bl < cur_len, 100, 0) \
+                    + jnp.where(bl == cur_len, 10000, 0)
+            scores.append(jnp.where(valid_nb[r], base - ded, NEGS))
+
+        mx = jnp.maximum(jnp.maximum(scores[0], scores[1]), scores[2])
+        any_branch = mx != NEGS
+        w3 = jnp.where(scores[0] == mx, 0,
+                       jnp.where(scores[1] == mx, 1, 2))
+        adv = jnp.where(w3 == 0, first_len[0],
+                        jnp.where(w3 == 1, first_len[1], first_len[2]))
+
+        new_pos_rel = jnp.where(
+            found, jnp.where(any_branch, adv, cur_len), 1)
+        miss = ~found & (pos_abs < n_valid)
+        has_tok = (found | (miss & has_unk))
+
+        delta_out = jnp.clip(new_pos_rel, 1, 63)
+        ctl = (delta_out
+               | jnp.where(has_tok, 1 << 7, 0)
+               | jnp.where(miss, 1 << 9, 0)).astype(jnp.uint32)
+        tok = jnp.where(
+            miss, jnp.uint32((3 << W3_SHIFT) | unk_token),
+            (cur_idx.astype(jnp.uint32)
+             | (w3.astype(jnp.uint32) << W3_SHIFT))).astype(jnp.uint32)
+
+        ctl_ref[pl.ds(base_row, TILE_ROWS), :] = ctl[:TILE_ROWS]
+        tok_ref[pl.ds(base_row, TILE_ROWS), :] = tok[:TILE_ROWS]
+
+    @jax.jit
+    def decide(m_tab, text, n):
+        N = m_tab.shape[0]
+        rows = N // 128
+        n_tiles = rows // TILE_ROWS
+        pad = jnp.zeros((EXTRA_ROWS, 128), jnp.uint32)
+        m2 = jnp.concatenate([m_tab.reshape(rows, 128), pad])
+        t2 = jnp.concatenate([text.reshape(rows, 128),
+                              pad.astype(text.dtype)])
+        ctl, tok = pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((rows, 128), jnp.uint32),
+                       jax.ShapeDtypeStruct((rows, 128), jnp.uint32)),
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )(jnp.asarray(n, jnp.int32).reshape(1), m2, t2, planes, bb_tbl)
+        return ctl.reshape(-1), tok.reshape(-1)
+
+    return decide
+
+
+def resolve_tokens(vocab, tok_packed: np.ndarray) -> np.ndarray:
+    """idx|w3<<W3_SHIFT -> emitted id via ids3 (one gather per record)."""
+    ids3 = np.stack([vocab.id, vocab.id1, vocab.id2], axis=1).astype(np.uint32)
+    mask = (1 << W3_SHIFT) - 1
+    idx = (tok_packed & mask).astype(np.int64)
+    w3 = (tok_packed >> W3_SHIFT).astype(np.int64) & 3
+    unk = w3 == 3
+    idxc = np.minimum(idx, len(ids3) - 1)
+    out = ids3[idxc, np.minimum(w3, 2)]
+    if unk.any():
+        out = np.where(unk, (tok_packed & mask).astype(np.uint32), out)
+    return out

@@ -160,7 +160,16 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
                     n_r = PR
                     while n_r > 1:
                         half = n_r // 2
-                        cur = cur[:half, :] + cur[half:n_r, :]
+                        nxt = cur[:half, :] + cur[half:2 * half, :]
+                        if n_r % 2:
+                            tail = cur[2 * half:, :]
+                            if half == 1:
+                                nxt = nxt + tail
+                            else:
+                                nxt = jnp.concatenate(
+                                    [nxt[:half - 1, :],
+                                     nxt[half - 1:half, :] + tail], axis=0)
+                        cur = nxt
                         n_r = half
                     val = cur
                 rows_out.append(val)
@@ -183,7 +192,8 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
                 bucket = jnp.zeros((R_TOT, 128), jnp.int32)
             g = (((h ^ U32(c.salt)) * C2).astype(U32)
                  >> U32(32 - c.s_bits)).astype(jnp.int32)
-            if "no_disp" in ablate:
+            if "no_disp" in ablate or ("no_probe" in ablate
+                                       and "d_only" not in ablate):
                 d = jnp.zeros((R_TOT, 128), jnp.int32)
             else:
                 d = plane_lookup(dref, bucket >> 7,
@@ -192,7 +202,7 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
             srow = slot >> 7
             slane = slot & 127
 
-            if "no_probe" in ablate:
+            if "no_probe" in ablate or "d_only" in ablate:
                 best = best ^ slot  # keep slot math alive
                 continue
             nf = c.n_key_fields

@@ -483,10 +483,11 @@ class TpuTokenizer:
     one-lane overlap (ops/stitch.py); the legacy host stitcher remains as
     the exact fallback for pathological junctions."""
 
-    def __init__(self, vocab, chunk: int = 2048, engine: str = "decision"):
-        """engine: "decision" (position-parallel decision tables + chain
-        follow, ops/decision.py — the fast path) or "scan" (sequential
-        6-branch evaluation per lane step).  Both are byte-exact."""
+    def __init__(self, vocab, chunk: int = 2048, engine: str = "auto"):
+        """engine: "auto" picks "pallas" (VMEM hash-probe match + in-kernel
+        decision — the fast device path) when the vocabulary is eligible,
+        else "decision" (XLA position-parallel decision tables).  "scan" is
+        the sequential per-lane-step evaluator.  All are byte-exact."""
         self.vocab = vocab
         self.chunk = chunk
         self.engine = engine
@@ -497,6 +498,35 @@ class TpuTokenizer:
         self._bb_byte = jnp.asarray(vocab.begin_byte.astype(np.int32))
         self._fused = {}
         self._fused_stitch = {}
+        # Pallas engine (ops/pallas_match + ops/pallas_decide): the fast
+        # device path — VMEM hash-probe match + in-kernel 6-branch decision.
+        # Eligible for delete-token-free vocabularies (single fd row),
+        # byte/UTF-8 charsets, < 2^20 entries (packed idx|w3 token words).
+        self._pallas = None
+        if engine in ("pallas", "auto"):
+            eligible = (not self.dv.has_delete and vocab.charset != 2
+                        and len(vocab.tokens) < (1 << 20)
+                        and (not self.dv.has_unk
+                             or (self.dv.unk_token & 0xFFFFFF) < (1 << 20)))
+            if eligible:
+                try:
+                    from .hashmatch import build_hashmatch
+                    from .pallas_decide import make_decide_kernel
+                    from .pallas_match import make_match_kernel
+                    tabs = build_hashmatch(vocab.tokens)
+                    # CPU backend (tests) runs the kernels interpreted
+                    interp = jax.default_backend() == "cpu"
+                    self._pallas = (make_match_kernel(tabs, interpret=interp),
+                                    make_decide_kernel(vocab,
+                                                       interpret=interp))
+                    self.engine = "pallas"
+                except Exception:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "pallas engine build failed; using decision engine",
+                        exc_info=True)
+            if self._pallas is None:
+                self.engine = "decision"
 
     def _fused_fn(self, n_lanes: int):
         fn = self._fused.get(n_lanes)
@@ -513,7 +543,9 @@ class TpuTokenizer:
                 meta5, chunk=chunk, n_lanes=n_lanes, has_delete=has_delete,
                 has_unk=dv.has_unk, delete_token=dv.delete_token & 0xFFFFFF,
                 unk_token=dv.unk_token & 0xFFFFFF, lil_off=dv.lil_off,
-                engine=self.engine, pack_follow=self.pack_follow)
+                engine=("decision" if self.engine in ("pallas", "auto")
+                        else self.engine),
+                pack_follow=self.pack_follow)
 
         fn = jax.jit(device_tokenize)
         self._fused[n_lanes] = fn
@@ -526,6 +558,10 @@ class TpuTokenizer:
         (out_ids, count, missing, start_next, sync_ok)."""
         fn = self._fused_stitch.get(n_lanes)
         if fn is not None:
+            return fn
+        if self.engine == "pallas":
+            fn = self._pallas_stitch_fn(n_lanes)
+            self._fused_stitch[n_lanes] = fn
             return fn
         from .stitch import device_stitch
         inner = self._fused_fn(n_lanes)
@@ -551,6 +587,41 @@ class TpuTokenizer:
         fn = jax.jit(run)
         self._fused_stitch[n_lanes] = fn
         return fn
+
+    def _pallas_stitch_fn(self, n_lanes: int):
+        """Pallas-engine pipeline: match kernel -> decision kernel -> packed
+        follow -> bounded device stitch.  Same call contract as
+        _fused_stitch_fn's `run` but ignores the table args (kernels close
+        over their VMEM tables); stitch output carries packed idx|w3 token
+        words resolved to ids on the host (pallas_decide.resolve_tokens)."""
+        from .decision import follow_lanes
+        from .stitch import device_stitch
+        chunk = self.chunk
+        match_fn, decide_fn = self._pallas
+        total = n_lanes * chunk + MARGIN
+        # pallas kernels want a multiple of 128*TILE_ROWS incl. pad
+        from .pallas_match import TILE_ROWS
+        grain = 128 * TILE_ROWS
+        p2 = -(-(total + 64) // grain) * grain
+        t_rec = chunk // 2 + OVERLAP_SCAN + 64
+        out_cap = 2 * t_rec * n_lanes
+
+        def run(text, n, start0, last_lane, final, *_tables):
+            tpad = jnp.concatenate(
+                [text, jnp.zeros(p2 - total, text.dtype)])
+            m_tab = match_fn(tpad, n)
+            ctl1, tok1 = decide_fn(m_tab, tpad, n)
+            ctl = jnp.stack([ctl1, ctl1])
+            tok = jnp.stack([tok1, tok1])
+            recs, toks, t_final = follow_lanes(
+                ctl, tok, n, chunk, n_lanes, OVERLAP_SCAN, packed=True)
+            out, count, missing, start_next, sync_ok = device_stitch(
+                recs[:t_rec], toks[:t_rec], start0, last_lane, final,
+                0, out_cap)
+            return (out, count, missing, start_next,
+                    sync_ok & (t_final <= t_rec))
+
+        return jax.jit(run)
 
     def _dispatch(self, sl: np.ndarray, exact: int):
         """One fused device call over slice ``sl`` whose first ``exact``
@@ -651,6 +722,9 @@ class TpuTokenizer:
             parts.append(np.asarray(out[:b])[:cnt])
         ids = (np.concatenate(parts) if parts
                else np.zeros(0, np.uint32))
+        if self.engine == "pallas" and len(ids):
+            from .pallas_decide import resolve_tokens
+            ids = resolve_tokens(self.vocab, ids)
         return ids, missing
 
     def tokenize(self, data: bytes):
