@@ -32,7 +32,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-M_MULT = np.uint32(0x01000193)    # FNV-ish odd multiplier
+M_MULT = np.uint32(257)           # mult-free in-kernel: (h<<8)+h
 C1 = np.uint32(0x9E3779B1)
 C2 = np.uint32(0x85EBCA6B)
 SEED = np.uint32(0x811C9DC5)
@@ -40,11 +40,14 @@ IDX_BYTES = 3                     # dictionary index bytes per slot
 
 
 def poly_hash(key: bytes) -> np.uint32:
-    h = SEED
+    """Per-byte recurrence h = (h*257 + b) ^ (h*257+b)>>11 — mult-free in
+    the kernel ((h<<8)+h) with an xor-shift to break the affine collision
+    structure pure multiplicative updates suffer."""
+    h = int(SEED)
     for b in key:
-        h = np.uint32((np.uint64(h) * np.uint64(M_MULT) + np.uint64(b))
-                      & np.uint64(0xFFFFFFFF))
-    return h
+        h = (h * 257 + b) & 0xFFFFFFFF
+        h ^= h >> 11
+    return np.uint32(h)
 
 
 def _top_bits(x: np.uint32, mult: np.uint32, bits: int) -> int:
@@ -216,12 +219,13 @@ def host_longest_match(tables: HashMatchTables, data: bytes, p: int):
     if b is not None and tables.single[b] >= 0:
         best_idx, best_len = int(tables.single[b]), 1
     n = len(data)
-    h = SEED
+    h = int(SEED)
     maxl = min(tables.max_len, n - p)
     by_len = {c.length: c for c in tables.classes}
     for l in range(1, maxl + 1):
-        h = np.uint32((np.uint64(h) * np.uint64(M_MULT)
-                       + np.uint64(data[p + l - 1])) & np.uint64(0xFFFFFFFF))
+        h = (h * 257 + data[p + l - 1]) & 0xFFFFFFFF
+        h ^= h >> 11
+        h = np.uint32(h)
         c = by_len.get(l)
         if c is None:
             continue

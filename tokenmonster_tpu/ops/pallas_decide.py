@@ -41,10 +41,9 @@ def build_meta_planes(vocab):
     """Per-token metadata planes keyed by dictionary index (idx -> row
     idx>>7, lane idx&127).  Fields (f32-exact, <= 2^24):
       0: flag | nwords<<8
-      1: len1 | len2<<8
+      1: len1 | len2<<8 | anw2<<16
       2: aflag1 | anw1<<8 | aflag2<<16
-      3: anw2
-    Returns (planes (4, R, 128) f32, bb_plane (2,128) f32)."""
+    Returns (planes (3, R, 128) f32, bb_plane (2,128) f32)."""
     n = len(vocab.tokens)
     i1c = np.minimum(vocab.index1.astype(np.int64), max(n - 1, 0))
     i2c = np.minimum(vocab.index2.astype(np.int64), max(n - 1, 0))
@@ -55,12 +54,12 @@ def build_meta_planes(vocab):
     af2 = np.where(has2, vocab.flag[i2c], 0).astype(np.int64)
     anw2 = np.where(has2, vocab.nwords[i2c], 0).astype(np.int64)
     f0 = vocab.flag.astype(np.int64) | (vocab.nwords.astype(np.int64) << 8)
-    f1 = vocab.len1.astype(np.int64) | (vocab.len2.astype(np.int64) << 8)
+    f1 = (vocab.len1.astype(np.int64) | (vocab.len2.astype(np.int64) << 8)
+          | (anw2 << 16))
     f2 = af1 | (anw1 << 8) | (af2 << 16)
-    f3 = anw2
     R = max(8, -(-n // 128 // 8) * 8)
-    planes = np.zeros((4, R, 128), np.float32)
-    for j, f in enumerate((f0, f1, f2, f3)):
+    planes = np.zeros((3, R, 128), np.float32)
+    for j, f in enumerate((f0, f1, f2)):
         p = np.zeros(R * 128, np.float32)
         p[:n] = f.astype(np.float32)
         planes[j] = p.reshape(R, 128)
@@ -153,11 +152,10 @@ def make_decide_kernel(vocab, interpret: bool = False):
         F0 = meta_fetch(0, cur_idx)
         F1 = meta_fetch(1, cur_idx)
         F2 = meta_fetch(2, cur_idx)
-        F3 = meta_fetch(3, cur_idx)
         of, onw = F0 & 0xFF, F0 >> 8
-        olen1, olen2 = F1 & 0xFF, F1 >> 8
+        olen1, olen2 = F1 & 0xFF, (F1 >> 8) & 0xFF
         af1, anw1 = F2 & 0xFF, (F2 >> 8) & 0xFF
-        af2, anw2 = (F2 >> 16) & 0xFF, F3
+        af2, anw2 = (F2 >> 16) & 0xFF, (F1 >> 16) & 0xFF
 
         bb_i1 = win(bb, cur_len)
         do_eval = found & (pos_abs + cur_len < n_valid) & (

@@ -1,0 +1,170 @@
+"""Pallas follow kernel: chain-follow the decision table per chunk lane.
+
+Replaces ops/decision.py::follow_lanes for the Pallas engine (single fd
+row).  The XLA while_loop pays ~17 us/iteration in per-step overhead and
+HBM gathers (~12 ms/MB); here every lane's span of the packed decision
+table sits in VMEM and one step is a masked page select-sum across all
+512 lanes.
+
+Hard-won layout rules (this Mosaic version):
+  - narrow 2D shapes ((128, 4) state vectors) MISCOMPILE and can crash the
+    TPU worker — all state lives in (8, 128) arrays: row g = lane group g,
+    lane r = lane_id r*LG+g (rows LG..7 start done)
+  - the window blocks are HOST-TRANSPOSED to (pos, lane) orientation so the
+    in-page position select runs along sublanes with a broadcast one-hot —
+    no in-kernel transposes, no take_along, no narrow ops
+  - output stores pair two steps into one (8, 128) block so the sublane
+    offset stays 8-aligned
+
+Contract matches follow_lanes(packed=True): rec = (global_pos << 4) |
+has_tok<<1 | miss<<3, tok = the 22-bit packed idx|w3 word; outputs
+(t_rec, L) after an XLA reshape; plus an all-lanes-done flag for the
+stitch's record-window overflow check.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+LG = 4            # lane groups: L = LG * 128 = 512 lanes
+
+
+def _geom(chunk: int, overlap: int):
+    W = -(-(chunk + overlap + 128) // 128) * 128
+    return W, W // 128
+
+
+def make_follow_kernel(chunk: int, n_lanes: int, overlap: int, t_rec: int,
+                       interpret: bool = False):
+    """fn(blocksT u32 (n_pages*LG*128, 128), n) ->
+    (recs u32 (t_rec, L), toks u32 (t_rec, L), done_all i32 scalar).
+
+    blocksT row (k*LG+g)*128 + p = in-page position p of page k for the
+    128 lanes of group g (build_lane_windows)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert n_lanes == LG * 128, "pallas follow expects 512 lanes"
+    assert t_rec % 2 == 0
+    W, n_pages = _geom(chunk, overlap)
+
+    def kernel(n_ref, blocks_ref, recs_ref, toks_ref, done_ref):
+        n_valid = n_ref[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        grow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        lane_id = lane * LG + grow
+        start_abs = lane_id * chunk
+        stop_rel = jnp.where(grow < LG,
+                             jnp.clip(n_valid - start_abs, -1,
+                                      chunk + overlap),
+                             0)
+        iota0 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+        def lookup(pos_rel):
+            """w (8,128): row g = window word at pos_rel for group g."""
+            page = pos_rel >> 7
+            inpage = pos_rel & 127
+            rows = []
+            for g in range(LG):
+                in_b = jnp.broadcast_to(inpage[g:g + 1, :], (128, 128))
+                pg_b = jnp.broadcast_to(page[g:g + 1, :], (128, 128))
+                acc = jnp.zeros((128, 128), jnp.uint32)
+                for k in range(n_pages):
+                    blk = blocks_ref[pl.ds((k * LG + g) * 128, 128), :]
+                    sel = (pg_b == k) & (iota0 == in_b)
+                    acc = acc | jnp.where(sel, blk, 0)
+                # exactly one element selected per lane: OR-reduce rows
+                n_r = 128
+                cur = acc
+                while n_r > 1:
+                    half = n_r // 2
+                    cur = cur[:half, :] | cur[half:n_r, :]
+                    n_r = half
+                rows.append(cur)                       # (1, 128)
+            rows += [jnp.zeros((1, 128), jnp.uint32)] * (8 - LG)
+            return jnp.concatenate(rows, axis=0)       # (8, 128)
+
+        def one_step(pos_rel, done):
+            w = lookup(jnp.clip(pos_rel, 0, W - 1))
+            delta = (w & 63).astype(jnp.int32)
+            has_tok = ((w >> 7) & 1).astype(jnp.uint32)
+            miss = ((w >> 9) & 1).astype(jnp.uint32)
+            tok = (w >> 10).astype(jnp.uint32)
+            new_rel = pos_rel + delta
+            live = done == 0
+            rec = (((start_abs + new_rel).astype(jnp.uint32) << 4)
+                   | (has_tok << 1) | (miss << 3))
+            rec = jnp.where(live, rec, 0)
+            tok = jnp.where(live, tok, 0)
+            new_done = jnp.where(new_rel >= stop_rel, 1, done)
+            new_rel = jnp.where(live, new_rel, pos_rel)
+            return rec, tok, new_rel, new_done
+
+        def body(mt, carry):
+            pos_rel, done = carry
+            rec0, tok0, pos_rel, done = one_step(pos_rel, done)
+            rec1, tok1, pos_rel, done = one_step(pos_rel, done)
+            # rows 0..3 = step 2*mt, rows 4..7 = step 2*mt+1 (8-aligned)
+            sel = grow < LG
+            rec = jnp.where(sel, rec0, pltpu.roll(rec1, LG, 0))
+            tok = jnp.where(sel, tok0, pltpu.roll(tok1, LG, 0))
+            recs_ref[pl.ds(mt * 8, 8), :] = rec
+            toks_ref[pl.ds(mt * 8, 8), :] = tok
+            return (pos_rel, done)
+
+        pos0 = jnp.zeros((8, 128), jnp.int32)
+        done0 = jnp.where(stop_rel <= 0, 1, 0)
+        _pos_f, done_f = jax.lax.fori_loop(0, t_rec // 2, body,
+                                           (pos0, done0))
+        done_ref[0] = jnp.all(done_f == 1).astype(jnp.int32)
+
+    L = n_lanes
+
+    @jax.jit
+    def follow(blocksT, n):
+        recs, toks, done_all = pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((t_rec * 4, 128), jnp.uint32),
+                       jax.ShapeDtypeStruct((t_rec * 4, 128), jnp.uint32),
+                       jax.ShapeDtypeStruct((1,), jnp.int32)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            interpret=interpret,
+        )(jnp.asarray(n, jnp.int32).reshape(1), blocksT)
+        # stored macro mt -> rows [mt*8, mt*8+8): rows 0..3 = step 2mt,
+        # rows 4..7 = step 2mt+1; row g lane r = lane r*LG+g
+        def fix(a):
+            a = a.reshape(t_rec // 2, 2, LG, 128)
+            a = a.transpose(0, 1, 3, 2)       # (mt, sub, lane_r, g)
+            return a.reshape(t_rec, L)
+        return fix(recs), fix(toks), done_all[0]
+
+    return follow
+
+
+def build_lane_windows(ctl_packed, chunk: int, n_lanes: int, overlap: int):
+    """Host/XLA side table prep: (n_pages*LG*128, 128) u32 where row
+    (k*LG+g)*128 + p holds in-page position p of page k for group g's 128
+    lanes (lane_id = r*LG + g in lane r)."""
+    W, n_pages = _geom(chunk, overlap)
+    P = ctl_packed.shape[0]
+    need = n_lanes * chunk + W
+    ext = jnp.concatenate(
+        [ctl_packed, jnp.zeros(max(0, need - P), ctl_packed.dtype)])
+    parts = []
+    got = 0
+    off = 0
+    while got < W:
+        part = ext[off:off + n_lanes * chunk].reshape(n_lanes, chunk)
+        parts.append(part[:, :min(chunk, W - got)])
+        got += parts[-1].shape[1]
+        off += chunk
+    nat = jnp.concatenate(parts, axis=1)                 # (L, W) natural
+    # lane l = r*LG+g  ->  (g, r); pages along W
+    by_g = nat.reshape(128, LG, n_pages, 128)            # (r, g, k, p)
+    blocksT = by_g.transpose(2, 1, 3, 0)                 # (k, g, p, r)
+    return blocksT.reshape(n_pages * LG * 128, 128)

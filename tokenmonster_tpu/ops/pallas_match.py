@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from .hashmatch import C1, C2, M_MULT, SEED, HashMatchTables
 
-TILE_ROWS = 8        # 128-position groups per grid step (1024 positions)
+TILE_ROWS = 16       # 128-position groups per grid step (2048 positions)
 MARGIN_ROWS = 1      # extra text rows visible per step (windows read <= 43)
 
 U32 = jnp.uint32
@@ -177,7 +177,11 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
 
         ci = 0
         for l in range(1, max_len + 1):
-            h = (h * M_MULT + shift(l - 1).astype(U32)).astype(U32)
+            # (h*257 + b) ^ >>11, multiplier-free (VPU u32 multiply is
+            # emulated); the xor-shift breaks affine collision structure
+            # that pure multiplicative updates suffer (hashmatch.poly_hash)
+            h = ((h << U32(8)) + h + shift(l - 1).astype(U32)).astype(U32)
+            h = (h ^ (h >> U32(11))).astype(U32)
             if ci >= n_cls or classes[ci].length != l:
                 continue
             c = classes[ci]

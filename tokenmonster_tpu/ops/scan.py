@@ -606,20 +606,38 @@ class TpuTokenizer:
         t_rec = chunk // 2 + OVERLAP_SCAN + 64
         out_cap = 2 * t_rec * n_lanes
 
+        use_pallas_follow = n_lanes == 512
+        if use_pallas_follow:
+            from .pallas_follow import build_lane_windows, make_follow_kernel
+            interp = jax.default_backend() == "cpu"
+            # tighter record window than the XLA path: typical text emits
+            # ~1 record per 4 bytes; overflow fails done_all -> host stitch
+            t_rec = chunk * 3 // 8 + OVERLAP_SCAN + 64
+            t_rec += t_rec % 2
+            out_cap = 2 * t_rec * n_lanes
+            follow_fn = make_follow_kernel(chunk, n_lanes, OVERLAP_SCAN,
+                                           t_rec, interpret=interp)
+
         def run(text, n, start0, last_lane, final, *_tables):
             tpad = jnp.concatenate(
                 [text, jnp.zeros(p2 - total, text.dtype)])
             m_tab = match_fn(tpad, n)
             ctl1, tok1 = decide_fn(m_tab, tpad, n)
-            ctl = jnp.stack([ctl1, ctl1])
-            tok = jnp.stack([tok1, tok1])
-            recs, toks, t_final = follow_lanes(
-                ctl, tok, n, chunk, n_lanes, OVERLAP_SCAN, packed=True)
+            if use_pallas_follow:
+                from .pallas_follow import build_lane_windows as blw
+                ctlw = blw(ctl1 | (tok1 << 10), chunk, n_lanes, OVERLAP_SCAN)
+                recs, toks, done_all = follow_fn(ctlw, n)
+                follow_ok = done_all == 1
+            else:
+                ctl = jnp.stack([ctl1, ctl1])
+                tok = jnp.stack([tok1, tok1])
+                recs, toks, t_final = follow_lanes(
+                    ctl, tok, n, chunk, n_lanes, OVERLAP_SCAN, packed=True)
+                recs, toks = recs[:t_rec], toks[:t_rec]
+                follow_ok = t_final <= t_rec
             out, count, missing, start_next, sync_ok = device_stitch(
-                recs[:t_rec], toks[:t_rec], start0, last_lane, final,
-                0, out_cap)
-            return (out, count, missing, start_next,
-                    sync_ok & (t_final <= t_rec))
+                recs, toks, start0, last_lane, final, 0, out_cap)
+            return (out, count, missing, start_next, sync_ok & follow_ok)
 
         return jax.jit(run)
 
