@@ -32,7 +32,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 # Wall-clock budget for the TPU measurement (run in a watchdog subprocess —
 # a cold XLA compile must never starve the bench of its output line).
-TPU_BUDGET_S = int(os.environ.get("TM_BENCH_TPU_BUDGET_S", "330"))
+TPU_BUDGET_S = int(os.environ.get("TM_BENCH_TPU_BUDGET_S", "560"))
 
 SEED_TEXT = (
     b"The quick brown fox jumps over the lazy dog. Pack my box with five "
@@ -109,7 +109,8 @@ def _tpu_child():
         vocab = build_vocab()
         mark("t_vocab_ms")
         tk = TpuTokenizer(vocab, chunk=2048)
-        mark("t_tables_ms")  # AC automaton build + device upload
+        out["engine"] = tk.engine
+        mark("t_tables_ms")  # hash/AC table build + device upload
         out["jaxcache_before"] = _cache_entries()
         staged = tk.stage(corpus)
         res = tk.tokenize_staged(staged)  # warm: compiles + exactness
@@ -219,9 +220,15 @@ def main():
             # decode/serialize metrics still report
             ids, _m = vocab.tokenize(corpus)
         ids_a = np.asarray(ids)
-        t0 = time.time()
-        decoded = vocab.decode(ids_a)
-        details["decode_bps"] = round(len(decoded) / (time.time() - t0))
+        decoded = vocab.decode(ids_a)  # warm the blob cache
+        best_dt = None
+        for _ in range(3):
+            t0 = time.time()
+            decoded = vocab.decode(ids_a)
+            dt = time.time() - t0
+            if best_dt is None or dt < best_dt:
+                best_dt = dt
+        details["decode_bps"] = round(len(decoded) / best_dt)
         assert decoded == norm[:len(decoded)] or decoded == norm, \
             "decode round-trip mismatch"
         # serialized round-trip (16/24/32-bit auto width)
