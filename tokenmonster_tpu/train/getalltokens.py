@@ -448,12 +448,20 @@ def _finish_get_all_tokens(counter, char_table, data, level, using_capcode,
     # extra code tokens (getalltokens.go:1962-1975)
     if level < 4 and add_extra_tokens:
         from ..core.vocab import normalize_and_capcode
+
+        def _add_extra(tok):
+            # the .vocab format caps keys at 40 bytes (bytes8); capcoded
+            # extras can exceed it and would be silently dropped downstream
+            if 2 <= len(tok) <= MAX_TOKEN_LENGTH:
+                counter.add(tok, 1)
+
         for v in EXTRA_TOKENS:
             vb = v.encode("utf-8")
-            counter.add(normalize_and_capcode(vb, using_capcode, normalizer), 1)
-            counter.add(normalize_and_capcode(b" " + vb, using_capcode, normalizer), 1)
+            _add_extra(normalize_and_capcode(vb, using_capcode, normalizer))
+            _add_extra(normalize_and_capcode(b" " + vb, using_capcode,
+                                             normalizer))
             if vb.endswith(b"/"):
-                counter.add(vb + b"D", 1)
+                _add_extra(vb + b"D")
 
     header = {
         "using_capcode": using_capcode,

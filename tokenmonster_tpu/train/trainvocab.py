@@ -611,14 +611,18 @@ def train_vocab(dataset: bytes, dictionary_path, results_dir,
                         results_dir,
                         f"{tokens_in_text}_{unique_file_number}.tok")
                     unique_file_number += 1
-                    score_arr = [float(scores[cand.id[cand.dictionary.index[t]]])
-                                 / max(1, data_len)
-                                 for t in sorted(set(cand_tokens),
-                                                 key=lambda t: (len(t), t))]
+                    # tokens the candidate build dropped (e.g. beyond the
+                    # 40-byte key cap) have no dictionary entry: score 0
+                    saved_tokens = sorted(set(cand_tokens),
+                                          key=lambda t: (len(t), t))
+                    didx = cand.dictionary.index
+                    score_arr = [
+                        (float(scores[cand.id[didx[t]]]) / max(1, data_len))
+                        if t in didx else 0.0
+                        for t in saved_tokens]
                     save_tokens_with_scores(
-                        fname, header,
-                        sorted(set(cand_tokens), key=lambda t: (len(t), t)),
-                        score_arr, special_tokens)
+                        fname, header, saved_tokens, score_arr,
+                        special_tokens)
                     dicts_within_1pct.append((tokens_in_text, fname))
 
             if reached_vocab:
