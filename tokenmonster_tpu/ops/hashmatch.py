@@ -90,7 +90,7 @@ class ClassTable:
 
 
 def build_class_table(keys: list[bytes], indices: list[int],
-                      load: float = 0.75) -> ClassTable:
+                      load: float = 0.85) -> ClassTable:
     """Build the displaced table for one length class."""
     length = len(keys[0])
     K = len(keys)
