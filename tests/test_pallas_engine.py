@@ -58,3 +58,16 @@ def test_delete_vocab_keeps_decision_engine():
     v = capcode_vocab.__wrapped__()
     tk = TpuTokenizer(v, chunk=512)
     assert tk.engine == "decision"
+
+
+def test_record_window_overflow_falls_back(plain_vocab):
+    """Streams denser than the stitch record window (~1 byte/token) must
+    fail sync_ok and take the exact host-stitch fallback."""
+    from tokenmonster_tpu.ops.scan import TpuTokenizer
+    tk = TpuTokenizer(plain_vocab, chunk=2048)
+    # single letters separated by unmatched bytes -> ~1 record per 1-2 bytes
+    data = (b"q\x01u\x02i\x03c\x04k\x05" * 800)[:3000]
+    ids, miss = tk.tokenize(data)
+    want, wmiss = host_tokenize(plain_vocab, data)
+    np.testing.assert_array_equal(ids, np.asarray(want))
+    assert miss == wmiss

@@ -171,11 +171,9 @@ def make_decide_kernel(vocab, interpret: bool = False):
         fnw = [onw, anw1, anw2]
 
         m3 = [win(m, delta3[r]) for r in range(3)]
-        s_idx = [m3[r] >> 6 for r in range(3)]
         s_len = [m3[r] & 63 for r in range(3)]
         valid_nb = [valid_first[r] & (m3[r] != 0) for r in range(3)]
-        sF0 = [win(F0_w, delta3[r]) for r in range(3)
-               for F0_w in (F0,)]
+        sF0 = [win(F0, delta3[r]) for r in range(3)]
         sf = [sF0[r] & 0xFF for r in range(3)]
         snw = [sF0[r] >> 8 for r in range(3)]
         nb_nb = [win(bb, delta3[r] + s_len[r]) for r in range(3)]
