@@ -67,6 +67,35 @@ def build_vocab():
     return v
 
 
+def build_capcode_vocab():
+    """Production-shape capcode-2 vocabulary: the gpt2 token set re-generated
+    at capcode level 2, which defines a delete token (the "D" marker single-
+    byte token, go/tokenmonster.go:3475-3478) and ~20k space-prefixed
+    entries — the vocabulary class every TokenMonster-trained vocab belongs
+    to, exercising the forward-delete device path."""
+    cache = os.path.join(_HERE, ".tmp", "gpt2_cc2_bench.vocab")
+    from tokenmonster_tpu.core.vocab import Vocab
+    if os.path.exists(cache):
+        return Vocab.load(cache)
+    v0 = build_vocab()
+    v = Vocab()
+    v._generate(tokens=list(v0.tokens), charset=1, normalize_string="none",
+                using_capcode=2, level=5, reset_token_ids=True)
+    try:
+        v.save(cache)
+    except OSError:
+        pass
+    return v
+
+
+def fnv1a64(ids) -> int:
+    """FNV-1a over the little-endian u32 id stream (vectorized)."""
+    h = 0xCBF29CE484222325
+    for b in np.asarray(ids, np.uint32).astype("<u4").tobytes():
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def _tpu_child():
     """Measure the TPU path; prints one JSON line. Run under a watchdog.
 
@@ -154,6 +183,40 @@ def _tpu_child():
                 best_dt = dt
         out["tpu_e2e_bps"] = round(len(corpus) / best_dt)
         out["device"] = str(jax.devices()[0])
+        # full-id checksum: certifies the COMPILED kernels' output on real
+        # hardware (pytest runs interpret-mode on CPU; DESIGN.md documents
+        # real Mosaic miscompiles) — compared against native in main()
+        out["tpu_ids_fnv"] = str(fnv1a64(ids_t))
+        mark("t_fnv_ms")
+
+        # capcode-2 (forward-delete) vocabulary: the fast path for
+        # TokenMonster-trained vocabularies (VERDICT r3 #1) — run when the
+        # budget allows
+        if time.time() - t_start < TPU_BUDGET_S - 230:
+            from tokenmonster_tpu.core.vocab import normalize_and_capcode
+            vc = build_capcode_vocab()
+            data_cc = normalize_and_capcode(corpus, 2, vc.normalizer)
+            tkc = TpuTokenizer(vc, chunk=2048)
+            out["capcode_engine"] = tkc.engine
+            mark("t_cc_tables_ms")
+            staged_c = tkc.stage(data_cc)
+            res_c = tkc.tokenize_staged(staged_c)   # warm + exactness
+            mark("t_cc_warm_ms")
+            if res_c is not None:
+                ids_c, _miss_c = res_c
+                out["capcode_n_tokens"] = int(len(ids_c))
+                out["tpu_capcode_ids_fnv"] = str(fnv1a64(ids_c))
+                reps = 3
+                t0 = time.time()
+                for _ in range(reps):
+                    outs_c = tkc._run_staged(staged_c)
+                _ = [int(o[1]) for o in outs_c]
+                dt = (time.time() - t0) / reps
+                out["tpu_device_bps_capcode"] = round(len(data_cc) / dt)
+                out["capcode_corpus_bytes"] = len(data_cc)
+                mark("t_cc_bench_ms")
+            else:
+                out["capcode_error"] = "device stitch failed to sync"
     except Exception as e:  # pragma: no cover
         out["tpu_error"] = str(e)[:160]
     print(json.dumps(out), flush=True)
@@ -168,6 +231,7 @@ def main():
 
     # --- native C++ path (best-of-N to damp noisy-neighbour variance) ---
     native_bps = 0.0
+    ids = None
     try:
         from tokenmonster_tpu import native
         nv = native.NativeVocab(vocab)
@@ -203,11 +267,41 @@ def main():
             if n_tokens is not None and child.get("tpu_n_tokens"):
                 assert child["tpu_n_tokens"] == n_tokens, \
                     "TPU/native token mismatch"
+            if ids is not None and child.get("tpu_ids_fnv"):
+                # compiled-kernel exactness certificate: the device id
+                # stream must checksum-match the native tokenizer's
+                match = child["tpu_ids_fnv"] == str(fnv1a64(ids))
+                details["ids_fnv_match"] = match
+                assert match, "TPU/native id stream checksum mismatch"
         details.update(child)
     except subprocess.TimeoutExpired:
         details["tpu_error"] = f"budget exceeded ({TPU_BUDGET_S}s)"
     except Exception as e:  # pragma: no cover
         details["tpu_error"] = str(e)[:120]
+
+    # --- capcode-2 vocabulary: native side of the comparison ---
+    if details.get("tpu_device_bps_capcode"):
+        try:
+            from tokenmonster_tpu import native
+            from tokenmonster_tpu.core.vocab import normalize_and_capcode
+            vc = build_capcode_vocab()
+            data_cc = normalize_and_capcode(corpus, 2, vc.normalizer)
+            nvc = native.NativeVocab(vc)
+            ids_c, _m = nvc.tokenize(data_cc)   # warm
+            best_dt = None
+            for _ in range(4):
+                t0 = time.time()
+                ids_c, _m = nvc.tokenize(data_cc, threads=1)
+                dt = time.time() - t0
+                best_dt = dt if best_dt is None else min(best_dt, dt)
+            details["native_cxx_capcode_bps"] = round(len(data_cc) / best_dt)
+            match = (details.get("tpu_capcode_ids_fnv")
+                     == str(fnv1a64(ids_c)))
+            details["ids_fnv_match_capcode"] = match
+            assert details.get("capcode_n_tokens") in (None, len(ids_c))
+            assert match, "capcode TPU/native id stream checksum mismatch"
+        except Exception as e:  # pragma: no cover
+            details["capcode_native_error"] = str(e)[:120]
 
     # --- auxiliary reference-table metrics (tokenmonster-cpp/README.md:62-71:
     # the reference benches tokenize / decode / round-trip separately) ---

@@ -39,7 +39,7 @@ def test_multidispatch_bridge_chaining(vocab, monkeypatch):
     monkeypatch.setattr(scan_mod, "MAX_LANES", 8)
     data = normalize_and_capcode(ENGLISH * 40, 2, vocab.normalizer)
     want_ids, want_missing = host_tokenize(vocab, data)
-    tk = TpuTokenizer(vocab, chunk=64)
+    tk = TpuTokenizer(vocab, chunk=64, engine="decision")
     L, plan = tk._plan(len(data))
     assert len(plan) > 3, "test should exercise multiple dispatches"
     got = tk.tokenize_staged(tk.stage(data))
@@ -52,7 +52,7 @@ def test_multidispatch_bridge_chaining(vocab, monkeypatch):
 def test_device_matches_hoststitch(vocab):
     """Device-stitched ids == legacy host-stitched ids == oracle."""
     data = normalize_and_capcode(ENGLISH * 6, 2, vocab.normalizer)
-    tk = TpuTokenizer(vocab, chunk=128)
+    tk = TpuTokenizer(vocab, chunk=128, engine="decision")
     dev = tk.tokenize_staged(tk.stage(data))
     host = tk._tokenize_hoststitch(data)
     want = host_tokenize(vocab, data)
@@ -68,14 +68,14 @@ def test_missing_bytes_and_unk(vocab):
     data = (ENGLISH + rng.integers(128, 256, 400, dtype=np.uint8).tobytes()
             + ENGLISH)
     want_ids, want_missing = host_tokenize(vocab, data)
-    tk = TpuTokenizer(vocab, chunk=64)
+    tk = TpuTokenizer(vocab, chunk=64, engine="decision")
     ids, missing = tk.tokenize(data)
     assert missing == want_missing
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(want_ids))
 
 
 def test_tiny_and_empty(vocab):
-    tk = TpuTokenizer(vocab, chunk=64)
+    tk = TpuTokenizer(vocab, chunk=64, engine="decision")
     ids, missing = tk.tokenize(b"")
     assert len(ids) == 0 and missing == 0
     data = b" hello"

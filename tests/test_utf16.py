@@ -53,8 +53,8 @@ def test_utf16_tpu_path_parity():
     rnd = random.Random(11)
     words = ["the", "quick", "hello", "world", "he", "lo", "worldly", "ld",
              "a", "zz"]
-    for _ in range(3):
-        text = u16(" ".join(rnd.choices(words, k=300)) + "!")
+    for _ in range(2):
+        text = u16(" ".join(rnd.choices(words, k=120)) + "!")
         want, wm = host_tokenize(v, text)
         got, gm = tk.tokenize(text)
         assert gm == wm

@@ -90,8 +90,13 @@ class ClassTable:
 
 
 def build_class_table(keys: list[bytes], indices: list[int],
-                      load: float = 0.85) -> ClassTable:
-    """Build the displaced table for one length class."""
+                      load: float = 0.95) -> ClassTable:
+    """Build the displaced table for one length class.
+
+    Starts at the smallest power-of-two slot count >= K (CHD displacement
+    with salt retries routinely places at ~0.9+ load; probe cost in the
+    kernel is proportional to table rows, so density is throughput) and
+    grows only on placement failure."""
     length = len(keys[0])
     K = len(keys)
     cols = length + IDX_BYTES
@@ -104,7 +109,10 @@ def build_class_table(keys: list[bytes], indices: list[int],
     salt = 0
     for attempt in range(24):
         S = 1 << s_bits
-        b_bits = max(0, s_bits - 2)   # ~4 keys/bucket
+        b_bits = max(0, s_bits - 2)   # ~4 keys/bucket (8/bucket was tried:
+                                      # placement failures grow the slot
+                                      # tables and cost more field rows
+                                      # than the halved disp planes save)
         B = 1 << b_bits
         salt = (attempt * 0x9E3779B9) & 0xFFFFFFFF
         # group keys by bucket
@@ -124,7 +132,7 @@ def build_class_table(keys: list[bytes], indices: list[int],
             if not ks:
                 continue
             placed = False
-            for d in range(S):
+            for d in range(min(S, 4096)):
                 slots = [(g_all[i] + d) & (S - 1) for i in ks]
                 if len(set(slots)) == len(slots) and \
                         not any(occupied[s] for s in slots):
@@ -178,18 +186,44 @@ def build_class_table(keys: list[bytes], indices: list[int],
 
 @dataclass
 class HashMatchTables:
-    """All class tables + auxiliary arrays for one dictionary."""
+    """All class tables + auxiliary arrays for one dictionary.
+
+    ``space_*`` fields hold the forward-delete lookup structure: the
+    tokenizer's b-branches probe the dictionary with a space-prefixed window
+    (the ``lilbuf`` probes, go/tokenmonster.go:1029-1036, 1088-1108).  Only
+    keys that BEGIN with the space prefix can match such a window, so we
+    index {k[len(pre):] : pre+x in dict} — the same space-stripped keying as
+    the AC space automaton (ops/automaton.py::build_match_automata).  The
+    stripped key is a prefix of the text at p, so the kernel's running hash
+    stream covers it for free; reported match length includes the prefix."""
     classes: list[ClassTable]
     single: np.ndarray           # (256,) i32: dict index of 1-byte key or -1
     max_len: int
     n_keys: int
+    space_classes: list[ClassTable] = None  # stripped-key length classes
+    space_single: np.ndarray = None  # (256,) idx of stripped 1-byte key
+    space_empty: int = -1        # dict idx of the bare prefix token, or -1
+    lil_off: int = 1             # len(space prefix): 1 (UTF-8) / 2 (UTF-16)
+
+    @property
+    def has_space(self) -> bool:
+        return self.space_classes is not None
 
     def nbytes(self) -> int:
-        return sum(c.rows.nbytes + c.disp.nbytes for c in self.classes)
+        total = sum(c.rows.nbytes + c.disp.nbytes for c in self.classes)
+        if self.space_classes:
+            total += sum(c.rows.nbytes + c.disp.nbytes
+                         for c in self.space_classes)
+        return total
 
 
-def build_hashmatch(keys: list[bytes], indices=None) -> HashMatchTables:
-    """Build tables from dictionary keys (sorted order = index order)."""
+def build_hashmatch(keys: list[bytes], indices=None,
+                    space_prefix: bytes | None = None) -> HashMatchTables:
+    """Build tables from dictionary keys (sorted order = index order).
+
+    ``space_prefix`` (b" " for byte/UTF-8 charsets, b" \\x00" for UTF-16-LE)
+    additionally builds the space-stripped tables for the forward-delete
+    probes; None for vocabularies without a delete token."""
     if indices is None:
         indices = list(range(len(keys)))
     by_len: dict[int, tuple[list, list]] = {}
@@ -205,8 +239,32 @@ def build_hashmatch(keys: list[bytes], indices=None) -> HashMatchTables:
         by_len[len(k)][1].append(i)
     classes = [build_class_table(ks, idxs)
                for ln, (ks, idxs) in sorted(by_len.items())]
+
+    space_classes = None
+    space_single = None
+    space_empty = -1
+    lil_off = len(space_prefix) if space_prefix else 1
+    if space_prefix is not None:
+        sp_by_len: dict[int, tuple[list, list]] = {}
+        space_single = np.full(256, -1, np.int32)
+        for k, i in zip(keys, indices):
+            if not k.startswith(space_prefix):
+                continue
+            s = bytes(k[len(space_prefix):])
+            if len(s) == 0:
+                space_empty = i
+            elif len(s) == 1:
+                space_single[s[0]] = i
+            else:
+                sp_by_len.setdefault(len(s), ([], []))
+                sp_by_len[len(s)][0].append(s)
+                sp_by_len[len(s)][1].append(i)
+        space_classes = [build_class_table(ks, idxs)
+                         for ln, (ks, idxs) in sorted(sp_by_len.items())]
     return HashMatchTables(classes=classes, single=single, max_len=max_len,
-                           n_keys=len(keys))
+                           n_keys=len(keys), space_classes=space_classes,
+                           space_single=space_single, space_empty=space_empty,
+                           lil_off=lil_off)
 
 
 # ---------------- host reference prober (oracle for kernel tests) --------
@@ -225,12 +283,11 @@ def host_longest_match(tables: HashMatchTables, data: bytes, p: int):
     for l in range(1, maxl + 1):
         h = (h * 257 + data[p + l - 1]) & 0xFFFFFFFF
         h ^= h >> 11
-        h = np.uint32(h)
         c = by_len.get(l)
         if c is None:
             continue
-        bucket = _top_bits(h, C1, c.b_bits)
-        g = _top_bits(np.uint32(int(h) ^ c.salt), C2, c.s_bits)
+        bucket = _top_bits(np.uint32(h), C1, c.b_bits)
+        g = _top_bits(np.uint32(h ^ c.salt), C2, c.s_bits)
         s = (g + int(c.disp[bucket])) & ((1 << c.s_bits) - 1)
         r, c0 = divmod(s, c.spr)
         c0 *= c.cols
@@ -239,4 +296,42 @@ def host_longest_match(tables: HashMatchTables, data: bytes, p: int):
             (int(slot[l + 2]) << 16)
         if idx1 != 0 and bytes(slot[:l]) == data[p:p + l]:
             best_idx, best_len = idx1 - 1, l
+    return best_idx, best_len
+
+
+def host_longest_space_match(tables: HashMatchTables, data: bytes, p: int):
+    """(idx, full_length) of the longest space-prefixed match at p, i.e.
+    the longest dictionary key equal to prefix + data[p:p+sl]; full_length
+    includes the prefix bytes.  (-1, 0) if none.  Mirrors the kernel's
+    space-table probe math exactly."""
+    best_idx, best_len = -1, 0
+    if tables.space_classes is None:
+        return best_idx, best_len
+    if tables.space_empty >= 0:
+        best_idx, best_len = tables.space_empty, tables.lil_off
+    n = len(data)
+    b = data[p] if p < n else None
+    if b is not None and tables.space_single is not None \
+            and tables.space_single[b] >= 0:
+        best_idx = int(tables.space_single[b])
+        best_len = 1 + tables.lil_off
+    h = int(SEED)
+    maxl = min(tables.max_len - tables.lil_off, n - p)
+    by_len = {c.length: c for c in tables.space_classes}
+    for l in range(1, maxl + 1):
+        h = (h * 257 + data[p + l - 1]) & 0xFFFFFFFF
+        h ^= h >> 11
+        c = by_len.get(l)
+        if c is None:
+            continue
+        bucket = _top_bits(np.uint32(h), C1, c.b_bits)
+        g = _top_bits(np.uint32(h ^ c.salt), C2, c.s_bits)
+        s = (g + int(c.disp[bucket])) & ((1 << c.s_bits) - 1)
+        r, c0 = divmod(s, c.spr)
+        c0 *= c.cols
+        slot = c.rows[r, c0:c0 + c.cols]
+        idx1 = int(slot[l]) | (int(slot[l + 1]) << 8) | \
+            (int(slot[l + 2]) << 16)
+        if idx1 != 0 and bytes(slot[:l]) == data[p:p + l]:
+            best_idx, best_len = idx1 - 1, l + tables.lil_off
     return best_idx, best_len

@@ -1,5 +1,5 @@
 """Pallas decision kernel: the 6-branch ungreedy transition for every
-position, computed from the match table (ops/pallas_match.py output).
+position, computed from the match tables (ops/pallas_match.py output).
 
 Replaces the XLA dense decision engine (ops/decision.py), whose bounded-
 offset window lookups lower to 48-way select trees and whose per-token
@@ -9,18 +9,24 @@ a select, and per-token metadata is fetched once per position from VMEM
 meta planes keyed by dictionary index (select-sum over ~400 rows).
 
 Scoring math is the exact reference formula (go/tokenmonster.go:1075-1084,
-tie order :1132-1133, fast path :1057) — mirrored from
-ops/scan.py::ungreedy_step's dense branch and tested against it.
+tie order :1132-1133, fast path :1057; forward-delete branches
+:1088-1108) — mirrored from ops/scan.py::ungreedy_step's dense branch and
+tested against it.
 
-Scope: vocabularies WITHOUT a delete token (single fd row — e.g. the gpt2
-import).  Delete-token vocabularies route through the XLA decision engine.
+Delete-token vocabularies (capcode levels 1/2 — everything the trainer
+produces) get BOTH forward-delete rows: the kernel consumes the
+space-prefixed match table mb_tab and emits the (2, N) decision tables of
+ops/decision.py::decision_tables.  Vocabularies without a delete token
+emit the single fd=0 row.
 
 Outputs (ctl, tok) in the ops/decision.py contract:
   ctl = delta(6b) | fd'<<6 | has_tok<<7 | has_del<<8 | miss<<9
   tok = dict idx (20b) | branch w3 (2b) << 20 — fits the follow phase's
         packed 22-bit token field; the stitch output resolves idx+branch to
         the emitted id with one host gather per record (resolve_tokens).
-        Vocabularies with >= 2^20 entries route through the XLA engine.
+        w3 == 3 marks a literal id in the low 20 bits (unk emission and the
+        stitch's delete-token filler).  Vocabularies with >= 2^20 entries
+        route through the XLA engine.
 """
 
 from __future__ import annotations
@@ -30,7 +36,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-TILE_ROWS = 8
+TILE_ROWS = 16        # position rows per grid step (margin amortisation:
+                      # the EXTRA_ROWS overlap is paid once per tile)
+TILE_ROWS_FD = 8      # two-fd-row variant: tile 16 overflows the 16 MB
+                      # scoped VMEM (4 outputs + 2 match tables; measured
+                      # 17.44M on v5e)
 EXTRA_ROWS = 2        # window lookups reach delta <= 95 plus row carry
 
 NEG = -1000000
@@ -69,10 +79,12 @@ def build_meta_planes(vocab):
 
 
 def make_decide_kernel(vocab, interpret: bool = False):
-    """fn(m_tab u32[N], text u8[N], n) -> (ctl u32[N], tok u32[N]).
+    """Delete-free vocab: fn(m_tab u32[N], text u8[N], n) -> (ctl u32[N],
+    tok u32[N]).  Delete-token vocab: fn(m_tab, mb_tab, text, n) ->
+    (ctl u32[2, N], tok u32[2, N]) — row fd.
 
-    N a multiple of 128*TILE_ROWS; m_tab/text padded with >= 2*128 zero
-    entries past real data (appended margin rows are added here)."""
+    N a multiple of 128*TILE_ROWS; m_tab/mb_tab/text padded with >= 2*128
+    zero entries past real data (appended margin rows are added here)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -81,12 +93,21 @@ def make_decide_kernel(vocab, interpret: bool = False):
     bb_tbl = jnp.asarray(bb_np)
     has_unk = vocab.unk_token != 0xFFFFFF
     unk_token = int(vocab.unk_token) & 0xFFFFFF
-    R2 = TILE_ROWS + EXTRA_ROWS
+    has_delete = vocab.delete_token != 0xFFFFFF
+    lil_off = 2 if vocab.charset == 2 else 1
+    TILE = TILE_ROWS_FD if has_delete else TILE_ROWS
+    R2 = TILE + EXTRA_ROWS
     PR = planes_np.shape[1]
 
-    def kernel(n_ref, m_ref, t_ref, planes_ref, bb_ref, ctl_ref, tok_ref):
+    def kernel(n_ref, *refs):
+        if has_delete:
+            m_ref, mb_ref, t_ref, planes_ref, bb_ref = refs[:5]
+            out_refs = refs[5:]            # ctl0, tok0, ctl1, tok1
+        else:
+            m_ref, t_ref, planes_ref, bb_ref = refs[:4]
+            out_refs = refs[4:]            # ctl0, tok0
         step = pl.program_id(0)
-        base_row = step * TILE_ROWS
+        base_row = step * TILE
         m = m_ref[pl.ds(base_row, R2), :].astype(jnp.int32)
         t = t_ref[pl.ds(base_row, R2), :].astype(jnp.int32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (R2, 128), 1)
@@ -144,85 +165,139 @@ def make_decide_kernel(vocab, interpret: bool = False):
             jnp.broadcast_to(b_all[1:2, :], (R2, 128)), t & 127, axis=1)
         bb = jnp.where(t < 128, bb0, bb1).astype(jnp.int32)
 
-        cur_idx = m >> 6
-        cur_len = m & 63
-        found = m != 0
-
-        # per-position metadata of the current match
-        F0 = meta_fetch(0, cur_idx)
-        F1 = meta_fetch(1, cur_idx)
-        F2 = meta_fetch(2, cur_idx)
-        of, onw = F0 & 0xFF, F0 >> 8
-        olen1, olen2 = F1 & 0xFF, (F1 >> 8) & 0xFF
-        af1, anw1 = F2 & 0xFF, (F2 >> 8) & 0xFF
-        af2, anw2 = (F2 >> 16) & 0xFF, (F1 >> 16) & 0xFF
-
-        bb_i1 = win(bb, cur_len)
-        do_eval = found & (pos_abs + cur_len < n_valid) & (
-            ((of & 32) == 0) | (bb_i1 != 12))
-
-        has_alt1 = do_eval & (olen1 > 0)
-        has_alt2 = has_alt1 & (olen2 > 0)
-        valid_first = [do_eval, has_alt1, has_alt2]
-        first_len = [cur_len, olen1, olen2]
-        delta3 = [jnp.where(valid_first[r], first_len[r], cur_len)
-                  for r in range(3)]
-        f_first = [of, af1, af2]
-        fnw = [onw, anw1, anw2]
-
-        m3 = [win(m, delta3[r]) for r in range(3)]
-        s_len = [m3[r] & 63 for r in range(3)]
-        valid_nb = [valid_first[r] & (m3[r] != 0) for r in range(3)]
-        sF0 = [win(F0, delta3[r]) for r in range(3)]
-        sf = [sF0[r] & 0xFF for r in range(3)]
-        snw = [sF0[r] >> 8 for r in range(3)]
-        nb_nb = [win(bb, delta3[r] + s_len[r]) for r in range(3)]
+        # per-position metadata streams for both match tables (the branch
+        # lookaheads window over these, so they must be position-parallel)
+        mF0 = meta_fetch(0, m >> 6)
+        mF1 = meta_fetch(1, m >> 6)
+        mF2 = meta_fetch(2, m >> 6)
+        if has_delete:
+            mb = mb_ref[pl.ds(base_row, R2), :].astype(jnp.int32)
+            bF0 = meta_fetch(0, mb >> 6)
+            bF1 = meta_fetch(1, mb >> 6)
+            bF2 = meta_fetch(2, mb >> 6)
 
         NEGS = jnp.int32(NEG)
-        scores = []
-        for r in range(3):
-            bl = first_len[r] + s_len[r]
-            base = (bl + (f_first[r] >> 7) + (sf[r] >> 7)
-                    + jnp.maximum(fnw[r] - 1, 0) + jnp.maximum(snw[r] - 1, 0)
-                    + ((sf[r] >> 2) & 1) + ((nb_nb[r] >> 2) & 1)
-                    + (fnw[r] + snw[r] + (nb_nb[r] >> 3)) * 100)
-            ded = ((f_first[r] & 1 & (sf[r] >> 1)) * 103
-                   + ((f_first[r] >> 3) & 1 & (sf[r] >> 4)) * 100
-                   + (sf[r] & 1 & nb_nb[r]) * 3)
-            if r > 0:
-                ded = ded + jnp.where(bl < cur_len, 100, 0) \
-                    + jnp.where(bl == cur_len, 10000, 0)
-            scores.append(jnp.where(valid_nb[r], base - ded, NEGS))
 
-        mx = jnp.maximum(jnp.maximum(scores[0], scores[1]), scores[2])
-        any_branch = mx != NEGS
-        w3 = jnp.where(scores[0] == mx, 0,
-                       jnp.where(scores[1] == mx, 1, 2))
-        adv = jnp.where(w3 == 0, first_len[0],
-                        jnp.where(w3 == 1, first_len[1], first_len[2]))
+        def fd_row(fd):
+            """One forward-delete row of the decision table: the exact
+            6-branch transition at every position given carried fd."""
+            if fd:
+                mf, F0, F1, F2 = mb, bF0, bF1, bF2
+            else:
+                mf, F0, F1, F2 = m, mF0, mF1, mF2
+            cur_idx = mf >> 6
+            cur_len = (mf & 63) - fd * lil_off
+            found = mf != 0
 
-        new_pos_rel = jnp.where(
-            found, jnp.where(any_branch, adv, cur_len), 1)
-        miss = ~found & (pos_abs < n_valid)
-        has_tok = (found | (miss & has_unk))
+            of, onw = F0 & 0xFF, F0 >> 8
+            olen1, olen2 = F1 & 0xFF, (F1 >> 8) & 0xFF
+            af1, anw1 = F2 & 0xFF, (F2 >> 8) & 0xFF
+            af2, anw2 = (F2 >> 16) & 0xFF, (F1 >> 16) & 0xFF
 
-        delta_out = jnp.clip(new_pos_rel, 1, 63)
-        ctl = (delta_out
-               | jnp.where(has_tok, 1 << 7, 0)
-               | jnp.where(miss, 1 << 9, 0)).astype(jnp.uint32)
-        tok = jnp.where(
-            miss, jnp.uint32((3 << W3_SHIFT) | unk_token),
-            (cur_idx.astype(jnp.uint32)
-             | (w3.astype(jnp.uint32) << W3_SHIFT))).astype(jnp.uint32)
+            bb_i1 = win(bb, cur_len)
+            do_eval = found & (pos_abs + cur_len < n_valid) & (
+                ((of & 32) == 0) | (bb_i1 != 12))
 
-        ctl_ref[pl.ds(base_row, TILE_ROWS), :] = ctl[:TILE_ROWS]
-        tok_ref[pl.ds(base_row, TILE_ROWS), :] = tok[:TILE_ROWS]
+            has_alt1 = do_eval & (olen1 > 0)
+            has_alt2 = has_alt1 & (olen2 > 0)
+            valid_first = [do_eval, has_alt1, has_alt2]
+            first_len = [cur_len, olen1 - fd, olen2 - fd]
+            delta3 = [jnp.where(valid_first[r], first_len[r], cur_len)
+                      for r in range(3)]
+            f_first = [of, af1, af2]
+            fnw = [onw - fd, anw1 - fd, anw2 - fd]   # nWords - forwardDelete
+
+            m3 = [win(m, delta3[r]) for r in range(3)]
+            s_len = [m3[r] & 63 for r in range(3)]
+            valid_nb = [valid_first[r] & (m3[r] != 0) for r in range(3)]
+            sF0 = [win(mF0, delta3[r]) for r in range(3)]
+            sf = [sF0[r] & 0xFF for r in range(3)]
+            snw = [sF0[r] >> 8 for r in range(3)]
+            nb_nb = [win(bb, delta3[r] + s_len[r]) for r in range(3)]
+
+            scores = []
+            for r in range(3):
+                bl = first_len[r] + s_len[r]
+                base = (bl + (f_first[r] >> 7) + (sf[r] >> 7)
+                        + jnp.maximum(fnw[r] - 1, 0)
+                        + jnp.maximum(snw[r] - 1, 0)
+                        + ((sf[r] >> 2) & 1) + ((nb_nb[r] >> 2) & 1)
+                        + (fnw[r] + snw[r] + (nb_nb[r] >> 3)) * 100)
+                ded = ((f_first[r] & 1 & (sf[r] >> 1)) * 103
+                       + ((f_first[r] >> 3) & 1 & (sf[r] >> 4)) * 100
+                       + (sf[r] & 1 & nb_nb[r]) * 3)
+                if r > 0:
+                    ded = ded + jnp.where(bl < cur_len, 100, 0) \
+                        + jnp.where(bl == cur_len, 10000, 0)
+                scores.append(jnp.where(valid_nb[r], base - ded, NEGS))
+
+            if has_delete:
+                # forward-delete branches (go/tokenmonster.go:1088-1108):
+                # second token re-probed with the virtual space prefix
+                mb3 = [win(mb, delta3[r]) for r in range(3)]
+                sbF0 = [win(bF0, delta3[r]) for r in range(3)]
+                for r in range(3):
+                    secb_lenf = mb3[r] & 63
+                    secb_len = secb_lenf - lil_off
+                    sfb = sbF0[r] & 0xFF
+                    snwb = sbF0[r] >> 8
+                    want_b = (valid_nb[r] & ((sf[r] & 2) != 0)
+                              & (nb_nb[r] == 1) & (snw[r] == 0)
+                              & (secb_lenf > s_len[r] + 1))
+                    nb_b = win(bb, delta3[r] + secb_len)
+                    bl = first_len[r] + secb_len
+                    base = (bl + (f_first[r] >> 7) + (sfb >> 7)
+                            + jnp.maximum(fnw[r] - 1, 0)
+                            + jnp.maximum(snwb - 1, 0)
+                            + ((nb_b >> 2) & 1)
+                            + (fnw[r] + snwb + (nb_b >> 3)) * 100)
+                    ded = ((f_first[r] & 1) * 103
+                           + ((f_first[r] >> 3) & 1 & (sfb >> 4)) * 100
+                           + (sfb & 1 & nb_b) * 3 + 1)
+                    if r > 0:
+                        ded = ded + jnp.where(bl < cur_len, 100, 0) \
+                            + jnp.where(bl == cur_len, 10000, 0)
+                    scores.append(jnp.where(want_b, base - ded, NEGS))
+
+            mx = scores[0]
+            for s in scores[1:]:
+                mx = jnp.maximum(mx, s)
+            any_branch = mx != NEGS
+            # first-hit tie order s1 > s2 > s3 > s1b > s2b > s3b
+            w6 = jnp.full_like(mx, len(scores) - 1)
+            for r in range(len(scores) - 2, -1, -1):
+                w6 = jnp.where(scores[r] == mx, r, w6)
+            w3 = w6 % 3
+            is_b = any_branch & (w6 >= 3)
+            adv = jnp.where(w3 == 0, first_len[0],
+                            jnp.where(w3 == 1, first_len[1], first_len[2]))
+
+            new_pos_rel = jnp.where(
+                found, jnp.where(any_branch, adv, cur_len), 1)
+            miss = ~found & (pos_abs < n_valid)
+            has_tok = (found | (miss & has_unk))
+
+            delta_out = jnp.clip(new_pos_rel, 1, 63)
+            ctl = (delta_out
+                   | jnp.where(is_b, (1 << 6) | (1 << 8), 0)
+                   | jnp.where(has_tok, 1 << 7, 0)
+                   | jnp.where(miss, 1 << 9, 0)).astype(jnp.uint32)
+            tok = jnp.where(
+                miss, jnp.uint32((3 << W3_SHIFT) | unk_token),
+                (cur_idx.astype(jnp.uint32)
+                 | (w3.astype(jnp.uint32) << W3_SHIFT))).astype(jnp.uint32)
+            return ctl, tok
+
+        for i, fd in enumerate((0, 1) if has_delete else (0,)):
+            ctl, tok = fd_row(fd)
+            out_refs[2 * i][pl.ds(base_row, TILE), :] = ctl[:TILE]
+            out_refs[2 * i + 1][pl.ds(base_row, TILE), :] = tok[:TILE]
 
     @jax.jit
     def decide(m_tab, text, n):
         N = m_tab.shape[0]
         rows = N // 128
-        n_tiles = rows // TILE_ROWS
+        n_tiles = rows // TILE
         pad = jnp.zeros((EXTRA_ROWS, 128), jnp.uint32)
         m2 = jnp.concatenate([m_tab.reshape(rows, 128), pad])
         t2 = jnp.concatenate([text.reshape(rows, 128),
@@ -240,18 +315,51 @@ def make_decide_kernel(vocab, interpret: bool = False):
         )(jnp.asarray(n, jnp.int32).reshape(1), m2, t2, planes, bb_tbl)
         return ctl.reshape(-1), tok.reshape(-1)
 
-    return decide
+    @jax.jit
+    def decide_fd(m_tab, mb_tab, text, n):
+        N = m_tab.shape[0]
+        rows = N // 128
+        n_tiles = rows // TILE
+        pad = jnp.zeros((EXTRA_ROWS, 128), jnp.uint32)
+        m2 = jnp.concatenate([m_tab.reshape(rows, 128), pad])
+        mb2 = jnp.concatenate([mb_tab.reshape(rows, 128), pad])
+        t2 = jnp.concatenate([text.reshape(rows, 128),
+                              pad.astype(text.dtype)])
+        os = jax.ShapeDtypeStruct((rows, 128), jnp.uint32)
+        ctl0, tok0, ctl1, tok1 = pl.pallas_call(
+            kernel,
+            out_shape=(os, os, os, os),
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                            for _ in range(4)),
+            interpret=interpret,
+        )(jnp.asarray(n, jnp.int32).reshape(1), m2, mb2, t2, planes, bb_tbl)
+        return (jnp.stack([ctl0.reshape(-1), ctl1.reshape(-1)]),
+                jnp.stack([tok0.reshape(-1), tok1.reshape(-1)]))
+
+    return decide_fd if has_delete else decide
 
 
 def resolve_tokens(vocab, tok_packed: np.ndarray) -> np.ndarray:
-    """idx|w3<<W3_SHIFT -> emitted id via ids3 (one gather per record)."""
+    """idx|w3<<W3_SHIFT -> emitted id via ids3 (one gather per record).
+    w3 == 3 marks a literal id (unk / delete filler) in the low bits.
+    Bit 22 (pallas_stitch.DEL_BIT) marks a forward-delete record: the
+    delete token id is spliced in after the resolved id (the compact
+    kernel emits one slot per record; go/tokenmonster.go:1234-1245
+    appends ``original.id, deleteToken``)."""
     ids3 = np.stack([vocab.id, vocab.id1, vocab.id2], axis=1).astype(np.uint32)
     mask = (1 << W3_SHIFT) - 1
     idx = (tok_packed & mask).astype(np.int64)
     w3 = (tok_packed >> W3_SHIFT).astype(np.int64) & 3
-    unk = w3 == 3
+    lit = w3 == 3
     idxc = np.minimum(idx, len(ids3) - 1)
     out = ids3[idxc, np.minimum(w3, 2)]
-    if unk.any():
-        out = np.where(unk, (tok_packed & mask).astype(np.uint32), out)
+    if lit.any():
+        out = np.where(lit, (tok_packed & mask).astype(np.uint32), out)
+    del_mask = (tok_packed & (1 << 22)) != 0
+    if del_mask.any():
+        out = np.insert(out, np.nonzero(del_mask)[0] + 1,
+                        np.uint32(vocab.delete_token & 0xFFFFFF))
     return out

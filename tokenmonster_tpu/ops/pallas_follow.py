@@ -1,10 +1,14 @@
 """Pallas follow kernel: chain-follow the decision table per chunk lane.
 
-Replaces ops/decision.py::follow_lanes for the Pallas engine (single fd
-row).  The XLA while_loop pays ~17 us/iteration in per-step overhead and
-HBM gathers (~12 ms/MB); here every lane's span of the packed decision
-table sits in VMEM and one step is a masked page select-sum across all
-512 lanes.
+Replaces ops/decision.py::follow_lanes for the Pallas engine.  The XLA
+while_loop pays ~17 us/iteration in per-step overhead and HBM gathers
+(~12 ms/MB); here every lane's span of the packed decision table sits in
+VMEM and one step is a masked page select-sum across all lanes.
+
+Forward-delete vocabularies carry BOTH decision rows (fd = 0 and fd = 1):
+the window blocks hold the two rows' pages back to back and each step
+selects the page by the lane's carried fd state — the exact chain of
+ops/decision.py::follow_lanes (go/tokenmonster.go:1048-1277 restructured).
 
 Hard-won layout rules (this Mosaic version):
   - narrow 2D shapes ((128, 4) state vectors) MISCOMPILE and can crash the
@@ -17,17 +21,18 @@ Hard-won layout rules (this Mosaic version):
     offset stays 8-aligned
 
 Contract matches follow_lanes(packed=True): rec = (global_pos << 4) |
-has_tok<<1 | miss<<3, tok = the 22-bit packed idx|w3 word; outputs
-(t_rec, L) after an XLA reshape; plus an all-lanes-done flag for the
-stitch's record-window overflow check.
+fd' | has_tok<<1 | has_del<<2 | miss<<3, tok = the 22-bit packed idx|w3
+word; outputs (t_rec, L) after an XLA reshape; plus an all-lanes-done flag
+for the stitch's record-window overflow check.
+
+Lane count: any multiple of 128 up to 512 (LG = n_lanes // 128 lane
+groups; rows LG..7 of the state arrays are permanently done).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-
-LG = 4            # lane groups: L = LG * 128 = 512 lanes
 
 
 def _geom(chunk: int, overlap: int):
@@ -36,18 +41,22 @@ def _geom(chunk: int, overlap: int):
 
 
 def make_follow_kernel(chunk: int, n_lanes: int, overlap: int, t_rec: int,
-                       interpret: bool = False):
-    """fn(blocksT u32 (n_pages*LG*128, 128), n) ->
+                       two_rows: bool = False, interpret: bool = False):
+    """fn(blocksT u32 (n_rows*n_pages*LG*128, 128), n) ->
     (recs u32 (t_rec, L), toks u32 (t_rec, L), done_all i32 scalar).
 
-    blocksT row (k*LG+g)*128 + p = in-page position p of page k for the
-    128 lanes of group g (build_lane_windows)."""
+    blocksT row ((f*n_pages + k)*LG+g)*128 + p = in-page position p of
+    page k of decision row f for the 128 lanes of group g
+    (build_lane_windows)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    assert n_lanes == LG * 128, "pallas follow expects 512 lanes"
+    assert n_lanes % 128 == 0 and 1 <= n_lanes // 128 <= 4, \
+        "pallas follow expects 128..512 lanes in multiples of 128"
     assert t_rec % 2 == 0
+    LG = n_lanes // 128
     W, n_pages = _geom(chunk, overlap)
+    n_sel_pages = n_pages * (2 if two_rows else 1)
 
     def kernel(n_ref, blocks_ref, recs_ref, toks_ref, done_ref):
         n_valid = n_ref[0]
@@ -61,16 +70,18 @@ def make_follow_kernel(chunk: int, n_lanes: int, overlap: int, t_rec: int,
                              0)
         iota0 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
 
-        def lookup(pos_rel):
-            """w (8,128): row g = window word at pos_rel for group g."""
+        def lookup(pos_rel, fd):
+            """w (8,128): row g = window word at (fd, pos_rel) for group g."""
             page = pos_rel >> 7
+            if two_rows:
+                page = page + fd * n_pages
             inpage = pos_rel & 127
             rows = []
             for g in range(LG):
                 in_b = jnp.broadcast_to(inpage[g:g + 1, :], (128, 128))
                 pg_b = jnp.broadcast_to(page[g:g + 1, :], (128, 128))
                 acc = jnp.zeros((128, 128), jnp.uint32)
-                for k in range(n_pages):
+                for k in range(n_sel_pages):
                     blk = blocks_ref[pl.ds((k * LG + g) * 128, 128), :]
                     sel = (pg_b == k) & (iota0 == in_b)
                     acc = acc | jnp.where(sel, blk, 0)
@@ -85,38 +96,63 @@ def make_follow_kernel(chunk: int, n_lanes: int, overlap: int, t_rec: int,
             rows += [jnp.zeros((1, 128), jnp.uint32)] * (8 - LG)
             return jnp.concatenate(rows, axis=0)       # (8, 128)
 
-        def one_step(pos_rel, done):
-            w = lookup(jnp.clip(pos_rel, 0, W - 1))
+        def one_step(pos_rel, fd, done):
+            w = lookup(jnp.clip(pos_rel, 0, W - 1), fd)
             delta = (w & 63).astype(jnp.int32)
+            new_fd = ((w >> 6) & 1).astype(jnp.int32)
             has_tok = ((w >> 7) & 1).astype(jnp.uint32)
+            has_del = ((w >> 8) & 1).astype(jnp.uint32)
             miss = ((w >> 9) & 1).astype(jnp.uint32)
             tok = (w >> 10).astype(jnp.uint32)
             new_rel = pos_rel + delta
             live = done == 0
             rec = (((start_abs + new_rel).astype(jnp.uint32) << 4)
-                   | (has_tok << 1) | (miss << 3))
+                   | new_fd.astype(jnp.uint32)
+                   | (has_tok << 1) | (has_del << 2) | (miss << 3))
             rec = jnp.where(live, rec, 0)
             tok = jnp.where(live, tok, 0)
             new_done = jnp.where(new_rel >= stop_rel, 1, done)
             new_rel = jnp.where(live, new_rel, pos_rel)
-            return rec, tok, new_rel, new_done
+            new_fd = jnp.where(live, new_fd, fd)
+            return rec, tok, new_rel, new_fd, new_done
 
-        def body(mt, carry):
-            pos_rel, done = carry
-            rec0, tok0, pos_rel, done = one_step(pos_rel, done)
-            rec1, tok1, pos_rel, done = one_step(pos_rel, done)
-            # rows 0..3 = step 2*mt, rows 4..7 = step 2*mt+1 (8-aligned)
+        def cond(state):
+            mt, pos_rel, fd, done, alldone = state
+            return (mt < t_rec // 2) & (alldone == 0)
+
+        def body(state):
+            mt, pos_rel, fd, done, _ = state
+            rec0, tok0, pos_rel, fd, done = one_step(pos_rel, fd, done)
+            rec1, tok1, pos_rel, fd, done = one_step(pos_rel, fd, done)
+            # rows 0..LG-1 = step 2*mt, rows LG..2LG-1 = step 2*mt+1
             sel = grow < LG
             rec = jnp.where(sel, rec0, pltpu.roll(rec1, LG, 0))
             tok = jnp.where(sel, tok0, pltpu.roll(tok1, LG, 0))
             recs_ref[pl.ds(mt * 8, 8), :] = rec
             toks_ref[pl.ds(mt * 8, 8), :] = tok
-            return (pos_rel, done)
+            alldone = jnp.all(done == 1).astype(jnp.int32)
+            return (mt + 1, pos_rel, fd, done, alldone)
 
         pos0 = jnp.zeros((8, 128), jnp.int32)
+        fd0 = jnp.zeros((8, 128), jnp.int32)
         done0 = jnp.where(stop_rel <= 0, 1, 0)
-        _pos_f, done_f = jax.lax.fori_loop(0, t_rec // 2, body,
-                                           (pos0, done0))
+        # early exit once every lane is done (typical text fills ~55% of the
+        # worst-case record window); the tail is zeroed below so the stitch
+        # sees flags==0 invalid records there
+        mt_f, _pos_f, _fd_f, done_f, _ad = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), pos0, fd0, done0,
+                         jnp.all(done0 == 1).astype(jnp.int32)))
+        zero8 = jnp.zeros((8, 128), jnp.uint32)
+
+        def zcond(mt):
+            return mt < t_rec // 2
+
+        def zbody(mt):
+            recs_ref[pl.ds(mt * 8, 8), :] = zero8
+            toks_ref[pl.ds(mt * 8, 8), :] = zero8
+            return mt + 1
+
+        jax.lax.while_loop(zcond, zbody, mt_f)
         done_ref[0] = jnp.all(done_f == 1).astype(jnp.int32)
 
     L = n_lanes
@@ -135,9 +171,10 @@ def make_follow_kernel(chunk: int, n_lanes: int, overlap: int, t_rec: int,
                        pl.BlockSpec(memory_space=pltpu.SMEM)),
             interpret=interpret,
         )(jnp.asarray(n, jnp.int32).reshape(1), blocksT)
-        # stored macro mt -> rows [mt*8, mt*8+8): rows 0..3 = step 2mt,
-        # rows 4..7 = step 2mt+1; row g lane r = lane r*LG+g
+        # stored macro mt -> rows [mt*8, mt*8+8): rows 0..LG-1 = step 2mt,
+        # rows LG..2LG-1 = step 2mt+1; row g lane r = lane r*LG+g
         def fix(a):
+            a = a.reshape(t_rec // 2, 8, 128)[:, :2 * LG, :]
             a = a.reshape(t_rec // 2, 2, LG, 128)
             a = a.transpose(0, 1, 3, 2)       # (mt, sub, lane_r, g)
             return a.reshape(t_rec, L)
@@ -147,24 +184,31 @@ def make_follow_kernel(chunk: int, n_lanes: int, overlap: int, t_rec: int,
 
 
 def build_lane_windows(ctl_packed, chunk: int, n_lanes: int, overlap: int):
-    """Host/XLA side table prep: (n_pages*LG*128, 128) u32 where row
-    (k*LG+g)*128 + p holds in-page position p of page k for group g's 128
-    lanes (lane_id = r*LG + g in lane r)."""
+    """Host/XLA side table prep: (n_rows*n_pages*LG*128, 128) u32 where row
+    ((f*n_pages+k)*LG+g)*128 + p holds in-page position p of page k of
+    decision row f for group g's 128 lanes (lane_id = r*LG + g in lane r).
+
+    ctl_packed: (P,) for a single decision row, or (n_rows, P) — the fd
+    rows of ops/decision.py::decision_tables — stacked along pages."""
+    LG = n_lanes // 128
     W, n_pages = _geom(chunk, overlap)
-    P = ctl_packed.shape[0]
+    if ctl_packed.ndim == 1:
+        ctl_packed = ctl_packed[None, :]
+    F, P = ctl_packed.shape
     need = n_lanes * chunk + W
     ext = jnp.concatenate(
-        [ctl_packed, jnp.zeros(max(0, need - P), ctl_packed.dtype)])
+        [ctl_packed,
+         jnp.zeros((F, max(0, need - P)), ctl_packed.dtype)], axis=1)
     parts = []
     got = 0
     off = 0
     while got < W:
-        part = ext[off:off + n_lanes * chunk].reshape(n_lanes, chunk)
-        parts.append(part[:, :min(chunk, W - got)])
-        got += parts[-1].shape[1]
+        part = ext[:, off:off + n_lanes * chunk].reshape(F, n_lanes, chunk)
+        parts.append(part[:, :, :min(chunk, W - got)])
+        got += parts[-1].shape[2]
         off += chunk
-    nat = jnp.concatenate(parts, axis=1)                 # (L, W) natural
-    # lane l = r*LG+g  ->  (g, r); pages along W
-    by_g = nat.reshape(128, LG, n_pages, 128)            # (r, g, k, p)
-    blocksT = by_g.transpose(2, 1, 3, 0)                 # (k, g, p, r)
-    return blocksT.reshape(n_pages * LG * 128, 128)
+    nat = jnp.concatenate(parts, axis=2)                 # (F, L, W) natural
+    # lane l = r*LG+g  ->  (g, r); pages along W; rows along pages
+    by_g = nat.reshape(F, 128, LG, n_pages, 128)         # (f, r, g, k, p)
+    blocksT = by_g.transpose(0, 3, 2, 4, 1)              # (f, k, g, p, r)
+    return blocksT.reshape(F * n_pages * LG * 128, 128)

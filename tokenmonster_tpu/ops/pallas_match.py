@@ -36,6 +36,45 @@ MARGIN_ROWS = 1      # extra text rows visible per step (windows read <= 43)
 U32 = jnp.uint32
 
 
+def _naf_terms(c: int):
+    """Signed power-of-two decomposition (non-adjacent form) of a u32
+    constant: c = sum(sign << k).  Used to lower the hash-mix constant
+    multiplies to shift-add chains — value-identical mod 2^32 to the u32
+    multiply, but ~3x cheaper than the VPU's emulated 32-bit multiply."""
+    terms = []
+    c = int(c)
+    k = 0
+    while c:
+        if c & 1:
+            if c & 3 == 3:
+                terms.append((k, -1))
+                c += 1
+            else:
+                terms.append((k, 1))
+                c -= 1
+        c >>= 1
+        k += 1
+    return terms
+
+
+_C1_TERMS = _naf_terms(int(C1))
+_C2_TERMS = _naf_terms(int(C2))
+
+
+def _mul_terms(x, terms):
+    """x * const (mod 2^32) via the NAF shift-add chain."""
+    acc = None
+    for k, sign in terms:
+        t = (x << U32(k)).astype(U32) if k else x
+        if acc is None:
+            acc = t if sign > 0 else (U32(0) - t).astype(U32)
+        elif sign > 0:
+            acc = (acc + t).astype(U32)
+        else:
+            acc = (acc - t).astype(U32)
+    return acc
+
+
 def _pad_rows8(a):
     """Pad a (..., R, 128) plane so R is a multiple of 8 (Mosaic's gather
     lowering rejects sub-8-sublane operands)."""
@@ -47,18 +86,23 @@ def _pad_rows8(a):
     return np.concatenate([a, pad], axis=-2)
 
 
-def build_device_tables(tables: HashMatchTables):
-    """Device-resident arrays: per-class field planes + displacement planes
-    + the 256-entry single-byte table."""
+def _class_device_tables(classes):
     field_tbls = [jnp.asarray(_pad_rows8(c.fields), jnp.float32)
-                  for c in tables.classes]
+                  for c in classes]
     disp_tbls = []
-    for c in tables.classes:
+    for c in classes:
         B = 1 << c.b_bits
         padded = np.zeros((max(1, -(-B // 128)) * 128,), np.float32)
         padded[:B] = c.disp.astype(np.float32)
         disp_tbls.append(jnp.asarray(_pad_rows8(padded.reshape(-1, 128)),
                                      jnp.float32))
+    return field_tbls, disp_tbls
+
+
+def build_device_tables(tables: HashMatchTables):
+    """Device-resident arrays: per-class field planes + displacement planes
+    + the 256-entry single-byte table."""
+    field_tbls, disp_tbls = _class_device_tables(tables.classes)
     single_tbl = jnp.asarray(
         (tables.single.astype(np.int64) + 1).astype(np.float32).reshape(2, 128))
     return field_tbls, disp_tbls, single_tbl
@@ -66,23 +110,42 @@ def build_device_tables(tables: HashMatchTables):
 
 def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
                       ablate: frozenset = frozenset()):
-    """fn(text u8[N]) -> m_tab u32[N].  N must be a multiple of
-    128*TILE_ROWS; the caller guarantees >= 128 zero bytes of padding after
-    real data (windows read ahead; an extra margin row is appended here).
-    ``ablate`` is a perf-debugging knob set: {"seq_sum", "one_field",
-    "no_probe", "no_disp"}."""
+    """fn(text u8[N]) -> m_tab u32[N], or (m_tab, mb_tab) when the tables
+    carry the space-stripped structure (delete-token vocabularies).  N must
+    be a multiple of 128*TILE_ROWS; the caller guarantees >= 128 zero bytes
+    of padding after real data (windows read ahead; an extra margin row is
+    appended here).  mb_tab packs (idx << 6) | full_len where full_len
+    includes the virtual space prefix (the ``lilbuf`` probe contract,
+    go/tokenmonster.go:1029-1036).  ``ablate`` is a perf-debugging knob set:
+    {"seq_sum", "one_field", "no_probe", "no_disp"}."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     classes = tables.classes
     n_cls = len(classes)
+    has_space = tables.has_space
+    sp_classes = tables.space_classes or []
+    n_sp = len(sp_classes)
+    lil_off = tables.lil_off
     max_len = max((c.length for c in classes), default=1)
+    if sp_classes:
+        max_len = max(max_len, max(c.length for c in sp_classes))
     R_TOT = TILE_ROWS + MARGIN_ROWS
     field_tbls, disp_tbls, single_tbl = build_device_tables(tables)
+    sp_field_tbls, sp_disp_tbls = _class_device_tables(sp_classes)
+    if has_space:
+        sp_single_tbl = jnp.asarray(
+            (tables.space_single.astype(np.int64) + 1)
+            .astype(np.float32).reshape(2, 128))
 
     def kernel(n_ref, text_ref, *refs):
-        out_ref = refs[-1]
-        single_ref = refs[-2]
+        if has_space:
+            out_ref, outb_ref = refs[-2], refs[-1]
+            single_ref = refs[-4]
+            sp_single_ref = refs[-3]
+        else:
+            out_ref = refs[-1]
+            single_ref = refs[-2]
         step = pl.program_id(0)
         base_row = step * TILE_ROWS
         t = text_ref[pl.ds(base_row, R_TOT), :].astype(jnp.int32)
@@ -125,21 +188,54 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
         h = jnp.full((R_TOT, 128), SEED, U32)
         best = jnp.zeros((R_TOT, 128), jnp.int32)
 
-        # length-1 keys: 256-entry direct table (2 x 128)
-        s_all = single_ref[:]
-        r0 = jnp.take_along_axis(
-            jnp.broadcast_to(s_all[0:1, :], (R_TOT, 128)), t & 127, axis=1)
-        r1 = jnp.take_along_axis(
-            jnp.broadcast_to(s_all[1:2, :], (R_TOT, 128)), t & 127, axis=1)
-        sidx1 = jnp.where(t < 128, r0, r1).astype(jnp.int32)
+        def single_lookup(ref):
+            """256-entry direct table (2 x 128) lookup by byte value."""
+            s_all = ref[:]
+            r0 = jnp.take_along_axis(
+                jnp.broadcast_to(s_all[0:1, :], (R_TOT, 128)), t & 127,
+                axis=1)
+            r1 = jnp.take_along_axis(
+                jnp.broadcast_to(s_all[1:2, :], (R_TOT, 128)), t & 127,
+                axis=1)
+            return jnp.where(t < 128, r0, r1).astype(jnp.int32)
+
+        # length-1 keys: direct table
+        sidx1 = single_lookup(single_ref)
         best = jnp.where((sidx1 > 0) & (pos_abs + 1 <= n_valid),
                          ((sidx1 - 1) << 6) | 1, best)
 
-        def plane_lookup(plane_ref, prow, plane_lane):
+        if has_space:
+            # forward-delete base cases: the bare prefix token matches every
+            # position (the probe window always begins with the virtual
+            # space), stripped single-byte keys via their direct table
+            if tables.space_empty >= 0:
+                bestb = jnp.full((R_TOT, 128),
+                                 (tables.space_empty << 6) | lil_off,
+                                 jnp.int32)
+            else:
+                bestb = jnp.zeros((R_TOT, 128), jnp.int32)
+            spidx1 = single_lookup(sp_single_ref)
+            bestb = jnp.where((spidx1 > 0) & (pos_abs + 1 <= n_valid),
+                              ((spidx1 - 1) << 6) | (1 + lil_off), bestb)
+
+        def plane_lookup(plane_ref, prow, plane_lane, real_rows=None):
             """val[p] = plane[prow[p], plane_lane[p]] per 128-position group;
             returns (R_TOT, 128).  take_along lane shuffle + row-one-hot
-            select-sum, all in position layout."""
+            select-sum, all in position layout.  Tables with few real rows
+            (``real_rows`` <= 4 — the long-key tail classes) skip the
+            per-group row scan: one broadcast lane-shuffle per real row +
+            a select chain over the whole tile."""
             plane = plane_ref[:]
+            if real_rows is not None and real_rows <= 4:
+                vals = []
+                for r in range(real_rows):
+                    vals.append(jnp.take_along_axis(
+                        jnp.broadcast_to(plane[r:r + 1, :], (R_TOT, 128)),
+                        plane_lane, axis=1))
+                out = vals[0]
+                for r in range(1, real_rows):
+                    out = jnp.where(prow == r, vals[r], out)
+                return out
             PR = plane.shape[0]
             rows_out = []
             for gq in range(R_TOT):
@@ -175,54 +271,67 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
                 rows_out.append(val)
             return jnp.concatenate(rows_out, axis=0)
 
-        ci = 0
-        for l in range(1, max_len + 1):
-            # (h*257 + b) ^ >>11, multiplier-free (VPU u32 multiply is
-            # emulated); the xor-shift breaks affine collision structure
-            # that pure multiplicative updates suffer (hashmatch.poly_hash)
-            h = ((h << U32(8)) + h + shift(l - 1).astype(U32)).astype(U32)
-            h = (h ^ (h >> U32(11))).astype(U32)
-            if ci >= n_cls or classes[ci].length != l:
-                continue
-            c = classes[ci]
-            fref = refs[ci]
-            dref = refs[n_cls + ci]
-            ci += 1
-
+        def probe_class(c, fref, dref, l, cur_best, out_len):
+            """Probe class ``c`` (stripped key length l) against the running
+            hash; on exact hit store ((idx) << 6) | out_len into cur_best."""
+            rr_f = -(-(1 << c.s_bits) // 128)      # real field-plane rows
+            rr_d = max(1, -(-(1 << c.b_bits) // 128))
             if c.b_bits:
-                bucket = ((h * C1).astype(U32)
+                bucket = (_mul_terms(h, _C1_TERMS)
                           >> U32(32 - c.b_bits)).astype(jnp.int32)
             else:
                 bucket = jnp.zeros((R_TOT, 128), jnp.int32)
-            g = (((h ^ U32(c.salt)) * C2).astype(U32)
+            g = (_mul_terms((h ^ U32(c.salt)).astype(U32), _C2_TERMS)
                  >> U32(32 - c.s_bits)).astype(jnp.int32)
             if "no_disp" in ablate or ("no_probe" in ablate
                                        and "d_only" not in ablate):
                 d = jnp.zeros((R_TOT, 128), jnp.int32)
             else:
-                d = plane_lookup(dref, bucket >> 7,
-                                 bucket & 127).astype(jnp.int32)
+                d = plane_lookup(dref, bucket >> 7, bucket & 127,
+                                 real_rows=rr_d).astype(jnp.int32)
             slot = (g + d) & ((1 << c.s_bits) - 1)
             srow = slot >> 7
             slane = slot & 127
 
             if "no_probe" in ablate or "d_only" in ablate:
-                best = best ^ slot  # keep slot math alive
-                continue
+                return cur_best ^ slot  # keep slot math alive
             nf = c.n_key_fields
             if "one_field" in ablate:
                 nf = 1
             mism = jnp.zeros((R_TOT, 128), jnp.bool_)
             for j in range(nf):
                 nbytes = min(3, l - 3 * j)
-                got = plane_lookup(fref.at[j], srow, slane).astype(jnp.int32)
+                got = plane_lookup(fref.at[j], srow, slane,
+                                   real_rows=rr_f).astype(jnp.int32)
                 mism = mism | (got != wtriple(j, nbytes))
-            idx1 = plane_lookup(fref.at[c.n_key_fields], srow,
-                                slane).astype(jnp.int32)
+            idx1 = plane_lookup(fref.at[c.n_key_fields], srow, slane,
+                                real_rows=rr_f).astype(jnp.int32)
             hit = (~mism) & (idx1 > 0) & (pos_abs + l <= n_valid)
-            best = jnp.where(hit, ((idx1 - 1) << 6) | l, best)
+            return jnp.where(hit, ((idx1 - 1) << 6) | out_len, cur_best)
+
+        ci = 0
+        si = 0
+        for l in range(1, max_len + 1):
+            # (h*257 + b) ^ >>11, multiplier-free (VPU u32 multiply is
+            # emulated); the xor-shift breaks affine collision structure
+            # that pure multiplicative updates suffer (hashmatch.poly_hash)
+            h = ((h << U32(8)) + h + shift(l - 1).astype(U32)).astype(U32)
+            h = (h ^ (h >> U32(11))).astype(U32)
+            if ci < n_cls and classes[ci].length == l:
+                best = probe_class(classes[ci], refs[ci], refs[n_cls + ci],
+                                   l, best, l)
+                ci += 1
+            if has_space and si < n_sp and sp_classes[si].length == l:
+                # same stripped-prefix hash stream; reported length includes
+                # the virtual space prefix
+                bestb = probe_class(
+                    sp_classes[si], refs[2 * n_cls + si],
+                    refs[2 * n_cls + n_sp + si], l, bestb, l + lil_off)
+                si += 1
 
         out_ref[pl.ds(base_row, TILE_ROWS), :] = best[:TILE_ROWS]
+        if has_space:
+            outb_ref[pl.ds(base_row, TILE_ROWS), :] = bestb[:TILE_ROWS]
 
     @jax.jit
     def match(text, n=None):
@@ -234,18 +343,36 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
         t2 = jnp.concatenate([
             text.reshape(rows, 128),
             jnp.zeros((MARGIN_ROWS, 128), text.dtype)])
+        n_vmem_in = 2 * n_cls + 2 * n_sp + (3 if has_space else 2)
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)
-                     for _ in range(2 * n_cls + 2)]
+                     for _ in range(n_vmem_in)]
+        out_shape = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
+        args = [jnp.asarray(n, jnp.int32).reshape(1), t2,
+                *field_tbls, *disp_tbls]
+        if has_space:
+            args += [*sp_field_tbls, *sp_disp_tbls, single_tbl,
+                     sp_single_tbl]
+            out, outb = pl.pallas_call(
+                kernel,
+                out_shape=(out_shape, out_shape),
+                grid=(n_tiles,),
+                in_specs=in_specs,
+                out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                           pl.BlockSpec(memory_space=pltpu.VMEM)),
+                interpret=interpret,
+            )(*args)
+            return (out.reshape(-1).astype(jnp.uint32),
+                    outb.reshape(-1).astype(jnp.uint32))
+        args.append(single_tbl)
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            out_shape=out_shape,
             grid=(n_tiles,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(jnp.asarray(n, jnp.int32).reshape(1), t2,
-          *field_tbls, *disp_tbls, single_tbl)
+        )(*args)
         return out.reshape(-1).astype(jnp.uint32)
 
     return match

@@ -500,20 +500,29 @@ class TpuTokenizer:
         self._fused_stitch = {}
         # Pallas engine (ops/pallas_match + ops/pallas_decide): the fast
         # device path — VMEM hash-probe match + in-kernel 6-branch decision.
-        # Eligible for delete-token-free vocabularies (single fd row),
-        # byte/UTF-8 charsets, < 2^20 entries (packed idx|w3 token words).
+        # Delete-token vocabularies (capcode 1/2 — every TokenMonster-trained
+        # vocab) run both forward-delete rows in-kernel via the space-
+        # stripped hash tables.  Requires < 2^20 entries and literal ids
+        # (unk/delete) < 2^20 (packed idx|w3 token words).
         self._pallas = None
         if engine in ("pallas", "auto"):
-            eligible = (not self.dv.has_delete and vocab.charset != 2
-                        and len(vocab.tokens) < (1 << 20)
+            eligible = (len(vocab.tokens) < (1 << 20)
                         and (not self.dv.has_unk
-                             or (self.dv.unk_token & 0xFFFFFF) < (1 << 20)))
+                             or (self.dv.unk_token & 0xFFFFFF) < (1 << 20))
+                        and (not self.dv.has_delete
+                             or (self.dv.delete_token & 0xFFFFFF)
+                             < (1 << 20)))
             if eligible:
                 try:
                     from .hashmatch import build_hashmatch
                     from .pallas_decide import make_decide_kernel
                     from .pallas_match import make_match_kernel
-                    tabs = build_hashmatch(vocab.tokens)
+                    space_prefix = None
+                    if self.dv.has_delete:
+                        space_prefix = (b" \x00" if vocab.charset == 2
+                                        else b" ")
+                    tabs = build_hashmatch(vocab.tokens,
+                                           space_prefix=space_prefix)
                     # CPU backend (tests) runs the kernels interpreted
                     interp = jax.default_backend() == "cpu"
                     self._pallas = (make_match_kernel(tabs, interpret=interp),
@@ -593,11 +602,17 @@ class TpuTokenizer:
         follow -> bounded device stitch.  Same call contract as
         _fused_stitch_fn's `run` but ignores the table args (kernels close
         over their VMEM tables); stitch output carries packed idx|w3 token
-        words resolved to ids on the host (pallas_decide.resolve_tokens)."""
+        words resolved to ids on the host (pallas_decide.resolve_tokens);
+        delete emissions become literal (w3==3) packed words."""
         from .decision import follow_lanes
+        from .pallas_decide import W3_SHIFT
         from .stitch import device_stitch
         chunk = self.chunk
         match_fn, decide_fn = self._pallas
+        dv = self.dv
+        has_delete = dv.has_delete
+        del_packed = ((3 << W3_SHIFT) | (dv.delete_token & 0xFFFFF)
+                      if has_delete else 0)
         total = n_lanes * chunk + MARGIN
         # pallas kernels want a multiple of 128*TILE_ROWS incl. pad
         from .pallas_match import TILE_ROWS
@@ -606,37 +621,66 @@ class TpuTokenizer:
         t_rec = chunk // 2 + OVERLAP_SCAN + 64
         out_cap = 2 * t_rec * n_lanes
 
-        use_pallas_follow = n_lanes == 512
+        use_pallas_follow = n_lanes % 128 == 0 and 1 <= n_lanes // 128 <= 4
+        use_compact = False
         if use_pallas_follow:
             from .pallas_follow import build_lane_windows, make_follow_kernel
+            from .pallas_stitch import make_compact_kernel
             interp = jax.default_backend() == "cpu"
             # tighter record window than the XLA path: typical text emits
-            # ~1 record per 4 bytes; overflow fails done_all -> host stitch
+            # ~1 record per 4 bytes; overflow fails done_all -> host stitch.
+            # Rounded up to the compact kernel's lane-stream granularity
+            # (128 records; whole (8,128) VMEM blocks per lane compiled).
             t_rec = chunk * 3 // 8 + OVERLAP_SCAN + 64
-            t_rec += t_rec % 2
-            out_cap = 2 * t_rec * n_lanes
+            grain_rec = 128 if interp else 1024
+            t_rec = -(-t_rec // grain_rec) * grain_rec
+            # compact path: one output slot per record (deletes fold into
+            # DEL_BIT of the token word, resolved on the host)
+            use_compact = True
+            out_cap = t_rec * n_lanes
+            cap_rows = out_cap // 128
             follow_fn = make_follow_kernel(chunk, n_lanes, OVERLAP_SCAN,
-                                           t_rec, interpret=interp)
+                                           t_rec, two_rows=has_delete,
+                                           interpret=interp)
+            compact_fn = make_compact_kernel(n_lanes, t_rec, cap_rows,
+                                             interpret=interp)
 
         def run(text, n, start0, last_lane, final, *_tables):
             tpad = jnp.concatenate(
                 [text, jnp.zeros(p2 - total, text.dtype)])
-            m_tab = match_fn(tpad, n)
-            ctl1, tok1 = decide_fn(m_tab, tpad, n)
+            if has_delete:
+                m_tab, mb_tab = match_fn(tpad, n)
+                ctl, tok = decide_fn(m_tab, mb_tab, tpad, n)   # (2, N)
+            else:
+                m_tab = match_fn(tpad, n)
+                ctl1, tok1 = decide_fn(m_tab, tpad, n)
+                ctl, tok = ctl1, tok1
             if use_pallas_follow:
                 from .pallas_follow import build_lane_windows as blw
-                ctlw = blw(ctl1 | (tok1 << 10), chunk, n_lanes, OVERLAP_SCAN)
+                ctlw = blw(ctl | (tok << 10), chunk, n_lanes, OVERLAP_SCAN)
                 recs, toks, done_all = follow_fn(ctlw, n)
                 follow_ok = done_all == 1
             else:
-                ctl = jnp.stack([ctl1, ctl1])
-                tok = jnp.stack([tok1, tok1])
+                if ctl.ndim == 1:
+                    ctl = jnp.stack([ctl, ctl])
+                    tok = jnp.stack([tok, tok])
                 recs, toks, t_final = follow_lanes(
                     ctl, tok, n, chunk, n_lanes, OVERLAP_SCAN, packed=True)
                 recs, toks = recs[:t_rec], toks[:t_rec]
                 follow_ok = t_final <= t_rec
-            out, count, missing, start_next, sync_ok = device_stitch(
-                recs, toks, start0, last_lane, final, 0, out_cap)
+            if use_compact:
+                from .pallas_stitch import device_stitch_compact
+                # fold the delete marker into the token words, then go
+                # lane-major for the compactor's per-lane streams
+                toks_aug = toks | (((recs >> 2) & 1) << 22)
+                toksT = toks_aug.T.reshape(n_lanes * (t_rec // 128), 128)
+                out, count, missing, start_next, sync_ok = \
+                    device_stitch_compact(recs, toksT, start0, last_lane,
+                                          final, compact_fn, out_cap)
+            else:
+                out, count, missing, start_next, sync_ok = device_stitch(
+                    recs, toks, start0, last_lane, final, del_packed,
+                    out_cap)
             return (out, count, missing, start_next, sync_ok & follow_ok)
 
         return jax.jit(run)

@@ -36,7 +36,8 @@ from .scan import _REC_DEL, _REC_FD, _REC_MISS, _REC_TOK
 SYNC_PROBE = 16  # first-K records of the right lane probed for a shared state
 
 
-def stitched_keep(recs, start0, last_lane, final, probe: int = SYNC_PROBE):
+def stitched_keep(recs, start0, last_lane, final, probe: int = SYNC_PROBE,
+                  want_ranges: bool = False):
     """Junction sync search + keep-range masking over a lane record grid.
 
     Args:
@@ -72,9 +73,12 @@ def stitched_keep(recs, start0, last_lane, final, probe: int = SYNC_PROBE):
         hit_k = hit.any(axis=0)                              # (K, L-1)
         sync_exists = hit_k.any(axis=0)                      # (L-1,)
         kstar = jnp.argmax(hit_k, axis=0).astype(jnp.int32)  # first k hit
-        hit_at_k = jnp.take_along_axis(
-            hit, jnp.broadcast_to(kstar[None, None, :], (T, 1, L - 1)),
-            axis=1)[:, 0, :]                                 # (T, L-1)
+        # hit row at kstar via masked any-reduce over the K axis (a
+        # take_along_axis here lowers to ~T*L scalar gathers, ~6 ms/MB
+        # measured — the select+reduce is pure vector work)
+        k_iota = jnp.arange(probe, dtype=jnp.int32)[None, :, None]
+        hit_at_k = jnp.any(hit & (k_iota == kstar[None, None, :]),
+                           axis=1)                           # (T, L-1)
         tstar = jnp.argmax(hit_at_k, axis=0).astype(jnp.int32)
 
         end_rec = jnp.concatenate([tstar, jnp.zeros(1, jnp.int32)])
@@ -101,6 +105,11 @@ def stitched_keep(recs, start0, last_lane, final, probe: int = SYNC_PROBE):
             & (t_idx >= start_rec[None, :])
             & (t_idx <= end_rec[None, :])
             & (lane_ids[None, :] <= last_lane))
+    if want_ranges:
+        # per-lane kept ranges for the in-kernel compactor; excluded lanes
+        # get an empty (end < start) window
+        end_m = jnp.where(lane_ids <= last_lane, end_rec, -1)
+        return flags, keep, start_next, sync_ok, start_rec, end_m
     return flags, keep, start_next, sync_ok
 
 
