@@ -294,7 +294,9 @@ def make_decide_kernel(vocab, interpret: bool = False):
             out_refs[2 * i + 1][pl.ds(base_row, TILE), :] = tok[:TILE]
 
     @jax.jit
-    def decide(m_tab, text, n):
+    def decide(m_tab, text, n, planes_in=None, bb_in=None):
+        if planes_in is None:
+            planes_in, bb_in = planes, bb_tbl
         N = m_tab.shape[0]
         rows = N // 128
         n_tiles = rows // TILE
@@ -312,11 +314,13 @@ def make_decide_kernel(vocab, interpret: bool = False):
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.VMEM)),
             interpret=interpret,
-        )(jnp.asarray(n, jnp.int32).reshape(1), m2, t2, planes, bb_tbl)
+        )(jnp.asarray(n, jnp.int32).reshape(1), m2, t2, planes_in, bb_in)
         return ctl.reshape(-1), tok.reshape(-1)
 
     @jax.jit
-    def decide_fd(m_tab, mb_tab, text, n):
+    def decide_fd(m_tab, mb_tab, text, n, planes_in=None, bb_in=None):
+        if planes_in is None:
+            planes_in, bb_in = planes, bb_tbl
         N = m_tab.shape[0]
         rows = N // 128
         n_tiles = rows // TILE
@@ -335,7 +339,8 @@ def make_decide_kernel(vocab, interpret: bool = False):
             out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                             for _ in range(4)),
             interpret=interpret,
-        )(jnp.asarray(n, jnp.int32).reshape(1), m2, mb2, t2, planes, bb_tbl)
+        )(jnp.asarray(n, jnp.int32).reshape(1), m2, mb2, t2, planes_in,
+          bb_in)
         return (jnp.stack([ctl0.reshape(-1), ctl1.reshape(-1)]),
                 jnp.stack([tok0.reshape(-1), tok1.reshape(-1)]))
 

@@ -108,6 +108,61 @@ def build_device_tables(tables: HashMatchTables):
     return field_tbls, disp_tbls, single_tbl
 
 
+def flat_tables(tables: HashMatchTables, alive: np.ndarray | None = None):
+    """The flat runtime-argument tuple for ``match(text, n, tabs=...)`` —
+    same order the kernel reads its refs.  With ``alive`` (bool per
+    dictionary index), slots of dead tokens have their index field zeroed
+    and dead singles cleared: the SAME placement (geometry, salts,
+    displacements) then behaves as the sub-dictionary, which is how the
+    trainer scores candidate vocabularies without rebuilding or
+    recompiling (superset placement, per-candidate masking)."""
+    def np_fields(classes):
+        out = []
+        for c in classes:
+            f = _pad_rows8(c.fields).astype(np.float32)
+            if alive is not None:
+                idxp = f[-1]                      # idx+1 plane
+                live = alive[np.maximum(idxp.astype(np.int64) - 1, 0)]
+                f = f.copy()
+                f[-1] = np.where((idxp > 0) & live, idxp, 0.0)
+            out.append(jnp.asarray(f))
+        return out
+
+    def np_disp(classes):
+        out = []
+        for c in classes:
+            B = 1 << c.b_bits
+            padded = np.zeros((max(1, -(-B // 128)) * 128,), np.float32)
+            padded[:B] = c.disp.astype(np.float32)
+            out.append(jnp.asarray(_pad_rows8(padded.reshape(-1, 128))))
+        return out
+
+    def np_single(single):
+        s = single.astype(np.int64)
+        if alive is not None:
+            live = alive[np.maximum(s, 0)]
+            s = np.where((s >= 0) & live, s, -1)
+        return jnp.asarray((s + 1).astype(np.float32).reshape(2, 128))
+
+    args = [*np_fields(tables.classes), *np_disp(tables.classes)]
+    if tables.has_space:
+        args += [*np_fields(tables.space_classes),
+                 *np_disp(tables.space_classes),
+                 np_single(tables.single), np_single(tables.space_single)]
+    else:
+        args.append(np_single(tables.single))
+    return tuple(args)
+
+
+def space_empty_scalar(tables: HashMatchTables,
+                       alive: np.ndarray | None = None) -> int:
+    """space_empty dictionary index + 1 (0 = none / dead)."""
+    se = tables.space_empty
+    if se < 0 or (alive is not None and not alive[se]):
+        return 0
+    return se + 1
+
+
 def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
                       ablate: frozenset = frozenset()):
     """fn(text u8[N]) -> m_tab u32[N], or (m_tab, mb_tab) when the tables
@@ -207,13 +262,12 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
         if has_space:
             # forward-delete base cases: the bare prefix token matches every
             # position (the probe window always begins with the virtual
-            # space), stripped single-byte keys via their direct table
-            if tables.space_empty >= 0:
-                bestb = jnp.full((R_TOT, 128),
-                                 (tables.space_empty << 6) | lil_off,
-                                 jnp.int32)
-            else:
-                bestb = jnp.zeros((R_TOT, 128), jnp.int32)
+            # space), stripped single-byte keys via their direct table.
+            # space_empty arrives as an SMEM scalar (idx+1, 0=none) so the
+            # trainer can mask it per candidate without recompiling.
+            se = n_ref[1]
+            bestb = (jnp.zeros((R_TOT, 128), jnp.int32)
+                     + jnp.where(se > 0, ((se - 1) << 6) | lil_off, 0))
             spidx1 = single_lookup(sp_single_ref)
             bestb = jnp.where((spidx1 > 0) & (pos_abs + 1 <= n_valid),
                               ((spidx1 - 1) << 6) | (1 + lil_off), bestb)
@@ -333,11 +387,19 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
         if has_space:
             outb_ref[pl.ds(base_row, TILE_ROWS), :] = bestb[:TILE_ROWS]
 
+    baked_se = tables.space_empty + 1 if tables.space_empty >= 0 else 0
+
     @jax.jit
-    def match(text, n=None):
+    def match(text, n=None, tabs=None, space_empty=None):
+        """tabs: optional runtime table tuple (flat_tables) — same
+        geometry as the build tables; defaults to the baked arrays.
+        space_empty: idx+1 of the bare-prefix token (space_empty_scalar);
+        defaults to the build vocabulary's."""
         N = text.shape[0]
         if n is None:
             n = N
+        if space_empty is None:
+            space_empty = baked_se
         rows = N // 128
         n_tiles = rows // TILE_ROWS
         t2 = jnp.concatenate([
@@ -348,11 +410,16 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)
                      for _ in range(n_vmem_in)]
         out_shape = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
-        args = [jnp.asarray(n, jnp.int32).reshape(1), t2,
-                *field_tbls, *disp_tbls]
+        smem = jnp.stack([jnp.asarray(n, jnp.int32),
+                          jnp.asarray(space_empty, jnp.int32)])
+        if tabs is None:
+            if has_space:
+                tabs = (*field_tbls, *disp_tbls, *sp_field_tbls,
+                        *sp_disp_tbls, single_tbl, sp_single_tbl)
+            else:
+                tabs = (*field_tbls, *disp_tbls, single_tbl)
+        args = [smem, t2, *tabs]
         if has_space:
-            args += [*sp_field_tbls, *sp_disp_tbls, single_tbl,
-                     sp_single_tbl]
             out, outb = pl.pallas_call(
                 kernel,
                 out_shape=(out_shape, out_shape),
@@ -364,7 +431,6 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
             )(*args)
             return (out.reshape(-1).astype(jnp.uint32),
                     outb.reshape(-1).astype(jnp.uint32))
-        args.append(single_tbl)
         out = pl.pallas_call(
             kernel,
             out_shape=out_shape,

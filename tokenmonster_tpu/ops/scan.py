@@ -498,6 +498,7 @@ class TpuTokenizer:
         self._bb_byte = jnp.asarray(vocab.begin_byte.astype(np.int32))
         self._fused = {}
         self._fused_stitch = {}
+        self._finalize = {}
         # Pallas engine (ops/pallas_match + ops/pallas_decide): the fast
         # device path — VMEM hash-probe match + in-kernel 6-branch decision.
         # Delete-token vocabularies (capcode 1/2 — every TokenMonster-trained
@@ -762,28 +763,56 @@ class TpuTokenizer:
             start0 = start_next
         return outs
 
+    def _meta_concat_fns(self, k: int):
+        """Jitted helpers per dispatch count: one (3k,) scalar-metadata
+        fetch (counts|missing|sync — a single tunnel round-trip instead of
+        three) and a device-side dense concat of the per-dispatch valid
+        prefixes (one download instead of k padded ones)."""
+        fns = self._finalize.get(k)
+        if fns is not None:
+            return fns
+
+        def meta(counts, missings, syncs):
+            return jnp.concatenate([
+                jnp.stack(counts).astype(jnp.int32),
+                jnp.stack(missings).astype(jnp.int32),
+                jnp.stack([s.astype(jnp.int32) for s in syncs])])
+
+        def concat(outs, counts):
+            total_cap = sum(o.shape[0] for o in outs)
+            cat = jnp.zeros(total_cap, jnp.uint32)
+            off = jnp.int32(0)
+            # each dispatch's padded buffer lands at the running offset;
+            # the next write starts at off+count, overwriting the pad
+            for i in range(len(outs)):
+                cat = jax.lax.dynamic_update_slice(cat, outs[i], (off,))
+                off = off + counts[i]
+            return cat
+
+        fns = (jax.jit(meta), jax.jit(concat))
+        self._finalize[k] = fns
+        return fns
+
     def tokenize_staged(self, staged):
         """Run the device pipeline on staged buffers and download the dense
         id stream.  Returns (ids, missing) or None if any junction failed to
         sync (caller falls back to the host stitcher)."""
         outs = self._run_staged(staged)
-        counts = np.asarray(jnp.stack([o[1] for o in outs]))
-        syncs = np.asarray(jnp.stack([o[3] for o in outs]))
+        k = len(outs)
+        meta_fn, concat_fn = self._meta_concat_fns(k)
+        meta = np.asarray(meta_fn([o[1] for o in outs],
+                                  [o[2] for o in outs],
+                                  [o[3] for o in outs]))
+        counts, missings, syncs = meta[:k], meta[k:2 * k], meta[2 * k:]
         if not syncs.all():
             return None
-        missing = int(np.asarray(jnp.stack([o[2] for o in outs])).sum())
-        parts = []
-        for (out, _c, _m, _s), cnt in zip(outs, counts):
-            cnt = int(cnt)
-            if cnt <= 0:
-                continue
-            b = 1024
-            while b < cnt:
-                b <<= 1
-            b = min(b, out.shape[0])
-            parts.append(np.asarray(out[:b])[:cnt])
-        ids = (np.concatenate(parts) if parts
-               else np.zeros(0, np.uint32))
+        missing = int(missings.sum())
+        total = int(counts.sum())
+        if total <= 0:
+            return np.zeros(0, np.uint32), missing
+        cat = concat_fn([o[0] for o in outs], jnp.asarray(counts))
+        b = min(-(-total // 65536) * 65536, cat.shape[0])
+        ids = np.asarray(cat[:b])[:total]
         if self.engine == "pallas" and len(ids):
             from .pallas_decide import resolve_tokens
             ids = resolve_tokens(self.vocab, ids)

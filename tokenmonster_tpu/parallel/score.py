@@ -248,3 +248,113 @@ def make_exact_score_step(mesh: Mesh, chunk: int, lanes: int,
         out_specs=(spec_rep, spec_rep, spec_rep, spec_rep),
         check_vma=False)
     return jax.jit(sharded)
+
+
+def make_pallas_score_step(mesh: Mesh, chunk: int, lanes: int,
+                           dispatches: int, n_ids_cap: int,
+                           has_delete: bool, lil_off: int,
+                           match_fn, decide_fn, axis="data"):
+    """Exact scorer on the PALLAS engine (VERDICT r3 #4): the trainer's
+    fast path.  Kernels are built ONCE on the SUPERSET vocabulary
+    (superset CHD placement); per-candidate state arrives as runtime
+    arguments (masked tables, remapped meta planes, candidate id map), so
+    a whole training run compiles each geometry exactly once.
+
+    step(text (n_dev, B) u8, n (n_dev,) i32, se i32, del_tok i32,
+         tabs..., planes, bb, ids3f) ->
+      (scores i32[n_ids_cap], n_tokens, miss_mask i32[256], sync_ok),
+    all psum-reduced over ``axis``.  Same contract and strip semantics as
+    make_exact_score_step (whole strips per device, chunk-parallel +
+    device-stitched within a strip, byte-exact vs the native scorer).
+    """
+    from ..ops.decision import follow_lanes
+    from ..ops.pallas_follow import build_lane_windows, make_follow_kernel
+    from ..ops.pallas_match import TILE_ROWS
+    from ..ops.scan import MARGIN, OVERLAP_SCAN
+    from ..ops.stitch import device_stitch_score
+    stride = (lanes - 1) * chunk
+    total = lanes * chunk + MARGIN
+    grain = 128 * TILE_ROWS
+    p2 = -(-(total + 64) // grain) * grain
+    interp = jax.default_backend() == "cpu"
+    use_pf = lanes % 128 == 0 and 1 <= lanes // 128 <= 4
+    t_rec = chunk * 3 // 8 + OVERLAP_SCAN + 64
+    if use_pf:
+        gr = 128 if interp else 1024
+        t_rec = -(-t_rec // gr) * gr
+        follow_fn = make_follow_kernel(chunk, lanes, OVERLAP_SCAN, t_rec,
+                                       two_rows=has_delete, interpret=interp)
+
+    def one_strip(text, n, se, del_tok, tabs, planes, bb, ids3f):
+        scores = jnp.zeros(n_ids_cap, jnp.int32)
+        n_tok = jnp.int32(0)
+        miss_mask = jnp.zeros(256, jnp.int32)
+        ok = jnp.bool_(True)
+        start0 = jnp.int32(0)
+        for d in range(dispatches):
+            off = d * stride
+            sl = jax.lax.dynamic_slice(text, (off,), (total,))
+            rem = n - off
+            n_slice = jnp.clip(rem, 0, total)
+            exact = jnp.clip(rem, 0, stride)
+            lr = jnp.clip(-(-exact // chunk) - 1, 0, lanes - 1)
+            final_d = rem <= stride
+            tpad = jnp.concatenate([sl, jnp.zeros(p2 - total, sl.dtype)])
+            if has_delete:
+                m_tab, mb_tab = match_fn(tpad, n_slice, tabs=tabs,
+                                         space_empty=se)
+                ctl, tok = decide_fn(m_tab, mb_tab, tpad, n_slice,
+                                     planes, bb)
+            else:
+                m_tab = match_fn(tpad, n_slice, tabs=tabs, space_empty=se)
+                ctl, tok = decide_fn(m_tab, tpad, n_slice, planes, bb)
+            if use_pf:
+                ctlw = build_lane_windows(ctl | (tok << 10), chunk, lanes,
+                                          OVERLAP_SCAN)
+                recs, toksp, done_all = follow_fn(ctlw, n_slice)
+                fok = done_all == 1
+            else:
+                if ctl.ndim == 1:
+                    ctl = jnp.stack([ctl, ctl])
+                    tok = jnp.stack([tok, tok])
+                recs, toksp, t_final = follow_lanes(
+                    ctl, tok, n_slice, chunk, lanes, OVERLAP_SCAN,
+                    packed=True)
+                recs, toksp = recs[:t_rec], toksp[:t_rec]
+                fok = t_final <= t_rec
+            # resolve packed idx|w3 words to candidate ids (one gather
+            # per record slot; garbage rows are masked by has_tok inside
+            # device_stitch_score)
+            idx = (toksp & ((1 << 20) - 1)).astype(jnp.int32)
+            w3 = ((toksp >> 20) & 3).astype(jnp.int32)
+            at = jnp.clip(idx * 3 + jnp.minimum(w3, 2), 0,
+                          ids3f.shape[0] - 1)
+            emit = jnp.take(ids3f, at)
+            s, nt, mm, nxt, sok = device_stitch_score(
+                recs, emit, sl, start0, lr, final_d, n_ids_cap, chunk,
+                delete_token=del_tok)
+            live = rem > 0
+            scores = scores + jnp.where(live, s, 0)
+            n_tok = n_tok + jnp.where(live, nt, 0)
+            miss_mask = miss_mask + jnp.where(live, mm, 0)
+            ok = ok & ((sok & fok) | ~live)
+            start0 = nxt
+        return scores, n_tok, miss_mask, ok
+
+    def step(text, n, se, del_tok, tabs, planes, bb, ids3f):
+        scores, n_tok, mm, ok = one_strip(text[0], n[0], se, del_tok,
+                                          tabs, planes, bb, ids3f)
+        n_dev_total = jax.lax.psum(jnp.int32(1), axis)
+        ok_all = jax.lax.psum(ok.astype(jnp.int32), axis) == n_dev_total
+        return (jax.lax.psum(scores, axis),
+                jax.lax.psum(n_tok, axis),
+                jax.lax.psum(mm, axis),
+                ok_all)
+
+    rep = P()
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), rep, rep, rep, rep, rep, rep),
+        out_specs=(rep, rep, rep, rep),
+        check_vma=False)
+    return jax.jit(sharded)

@@ -1,0 +1,67 @@
+"""Per-candidate runtime state for the Pallas trainer fast path.
+
+The scorer's kernels are compiled once on the SUPERSET vocabulary
+(trainvocab.CandidateScorer.prepare_pallas).  Each candidate (a subset of
+the pool) is expressed as runtime arguments at superset shapes:
+  - masked CHD tables (dead slots' index fields zeroed),
+  - candidate metadata planes remapped to superset dictionary positions,
+  - the candidate id table ids3f (superset idx * 3 + branch -> emitted id).
+Both dictionaries sort with the same comparator, so a candidate token's
+dictionary index equals its rank among alive superset entries — verified
+here per candidate before scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def candidate_runtime_state(pal: dict, cand):
+    """(tabs_args, space_empty, planes, bb, ids3f, delete_token) for the
+    candidate, or None when the candidate is incompatible with the
+    prepared superset (unknown token / delete-config mismatch)."""
+    import jax.numpy as jnp
+
+    from ..ops.pallas_decide import build_meta_planes
+    from ..ops.pallas_match import flat_tables, space_empty_scalar
+
+    v_sup = pal["v_sup"]
+    sup_index = pal["sup_index"]
+    n_sup = len(v_sup.tokens)
+    has_delete = (cand.delete_token != 0xFFFFFF)
+    if has_delete != pal["has_delete"] or cand.charset != v_sup.charset:
+        return None
+
+    alive = np.zeros(n_sup, bool)
+    pos = np.empty(len(cand.tokens), np.int64)
+    for ci, t in enumerate(cand.tokens):
+        i = sup_index.get(bytes(t))
+        if i is None:
+            return None
+        alive[i] = True
+        pos[ci] = i
+    # rank-order check: candidate index ci must equal the alive-rank of its
+    # superset position (same sort comparator in both dictionaries)
+    if not np.all(np.diff(pos) > 0):
+        return None
+
+    # candidate metadata at superset positions
+    planes_c, bb_c = build_meta_planes(cand)
+    Rs = max(8, -(-n_sup // 128 // 8) * 8)
+    planes_sup = np.zeros((3, Rs, 128), np.float32)
+    flat = planes_sup.reshape(3, Rs * 128)
+    cflat = planes_c.reshape(3, -1)
+    flat[:, pos] = cflat[:, :len(cand.tokens)]
+
+    ids3 = np.zeros((Rs * 128, 3), np.uint32)
+    ids3[pos, 0] = cand.id
+    ids3[pos, 1] = cand.id1
+    ids3[pos, 2] = cand.id2
+    ids3f = ids3.reshape(-1)
+
+    tabs_args = flat_tables(pal["tabs"], alive)
+    se = space_empty_scalar(pal["tabs"], alive)
+    del_tok = int(cand.delete_token) & 0xFFFFFF
+    return (tabs_args, se,
+            jnp.asarray(planes_sup), jnp.asarray(bb_c),
+            jnp.asarray(ids3f), del_tok)

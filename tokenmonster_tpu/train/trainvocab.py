@@ -75,6 +75,7 @@ class CandidateScorer:
         # would re-trace and re-compile the whole pipeline every round.
         self._tpu_steps: dict = {}
         self.tpu_compiles = 0
+        self._pal = None     # pallas fast-path state (prepare_pallas)
 
     def build(self, token_list):
         """token_list: singles + tokens + specials (pre-encoded bytes)."""
@@ -123,11 +124,131 @@ class CandidateScorer:
                 missing.add(b)
         return missing
 
+    def prepare_pallas(self, superset_tokens):
+        """Build the Pallas trainer fast path ONCE from the full candidate
+        pool (VERDICT r3 #4): superset CHD placement + kernels compiled on
+        superset-shaped tables.  Every candidate is then scored by MASKING
+        dead slots and remapping metadata at superset indices — no
+        placement search, no recompile, per-candidate host work is a few
+        numpy passes.  Returns True when the fast path is armed."""
+        try:
+            import jax
+
+            from ..ops.hashmatch import build_hashmatch
+            from ..ops.pallas_decide import make_decide_kernel
+            from ..ops.pallas_match import make_match_kernel
+            v_sup = self.build(list(superset_tokens))
+            n_sup = len(v_sup.tokens)
+            # VMEM budget: superset tables must fit next to the text/window
+            # buffers (~16 MB/core on v5e)
+            if not (16 <= n_sup <= 150_000):
+                return False
+            has_delete = v_sup.delete_token != 0xFFFFFF
+            space_prefix = None
+            if has_delete:
+                space_prefix = b" \x00" if v_sup.charset == 2 else b" "
+            tabs = build_hashmatch(v_sup.tokens, space_prefix=space_prefix)
+            interp = jax.default_backend() == "cpu"
+            self._pal = {
+                "v_sup": v_sup,
+                "tabs": tabs,
+                "has_delete": has_delete,
+                "sup_index": {bytes(t): i
+                              for i, t in enumerate(v_sup.tokens)},
+                "match_fn": make_match_kernel(tabs, interpret=interp),
+                "decide_fn": make_decide_kernel(v_sup, interpret=interp),
+                "steps": {},
+            }
+            log.info("pallas trainer fast path armed: superset %d tokens, "
+                     "delete=%s", n_sup, has_delete)
+            return True
+        except Exception:
+            log.warning("pallas trainer fast path unavailable; using the "
+                        "decision-engine scorer", exc_info=True)
+            self._pal = None
+            return False
+
+    def _score_tpu_pallas(self, cand, datasets, scores):
+        """Candidate scoring on the Pallas engine: mask the superset tables
+        to this candidate, remap its metadata to superset positions, and
+        run the mesh-sharded exact scorer.  Byte-exact vs the native
+        contiguous scorer (same contract as _score_tpu)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from .score_helpers import candidate_runtime_state
+        from ..parallel.score import (_pow2, exact_score_geometry,
+                                      make_pallas_score_step)
+        pal = self._pal
+        state = candidate_runtime_state(pal, cand)
+        if state is None:
+            return None      # incompatible candidate: caller falls back
+        tabs_args, se, planes, bb, ids3f, del_tok = state
+
+        devices = np.array(jax.devices())
+        mesh = Mesh(devices, ("data",))
+        n_ids = len(cand.reverse)
+        n_ids_cap = _pow2(max(len(pal["v_sup"].reverse), 256))
+        chunk = 2048
+        max_len = max((len(d) for d in datasets), default=1)
+        lanes, dispatches, buf_len = exact_score_geometry(
+            _pow2(max(max_len, chunk)), chunk)
+        key = (chunk, lanes, dispatches, n_ids_cap, len(devices))
+        step = pal["steps"].get(key)
+        if step is None:
+            step = make_pallas_score_step(
+                mesh, chunk, lanes, dispatches, n_ids_cap,
+                pal["has_delete"], 2 if self.charset == 2 else 1,
+                pal["match_fn"], pal["decide_fn"])
+            pal["steps"][key] = step
+            self.tpu_compiles += 1
+        rep = NamedSharding(mesh, P())
+        put = lambda t: jax.device_put(t, rep)  # noqa: E731
+        tabs_dev = tuple(put(t) for t in tabs_args)
+        planes_dev, bb_dev, ids3f_dev = put(planes), put(bb), put(ids3f)
+        n_dev = len(devices)
+        total_tokens = 0
+        miss_mask = np.zeros(256, np.int64)
+        for g in range(0, len(datasets), n_dev):
+            group = datasets[g:g + n_dev]
+            text = np.zeros((n_dev, buf_len), np.uint8)
+            ns = np.zeros(n_dev, np.int32)
+            for i, d in enumerate(group):
+                a = np.frombuffer(d, np.uint8)
+                text[i, :len(a)] = a
+                ns[i] = len(a)
+            s, n_tok, mm, sync_ok = step(
+                jax.device_put(jnp.asarray(text),
+                               NamedSharding(mesh, P("data", None))),
+                jax.device_put(jnp.asarray(ns),
+                               NamedSharding(mesh, P("data"))),
+                jnp.int32(se), jnp.int32(del_tok),
+                tabs_dev, planes_dev, bb_dev, ids3f_dev)
+            if not bool(sync_ok):
+                from .. import native
+                nv = native.NativeVocab(cand)
+                mask = np.zeros(256, np.uint8)
+                for d in group:
+                    nt, _n_miss = nv.tokenize_score(d, scores, mask)
+                    total_tokens += nt
+                miss_mask += mask.astype(np.int64)
+                continue
+            scores[:n_ids] += np.asarray(s, np.int64)[:n_ids]
+            total_tokens += int(n_tok)
+            miss_mask += np.asarray(mm, np.int64)
+        missing = {int(b) for b in np.nonzero(miss_mask)[0]}
+        return total_tokens, missing
+
     def _score_tpu(self, cand, datasets, scores):
         """Exact (decision-equivalent) distributed scoring: whole strips
         data-parallel over the mesh, chunk-parallel + device-stitched within
         a strip — byte-exact vs the native contiguous tokenizer, so both
         backends vote identical deletions.  Returns (n_tokens, missing)."""
+        if self._pal is not None:
+            res = self._score_tpu_pallas(cand, datasets, scores)
+            if res is not None:
+                return res
         import jax
         import jax.numpy as jnp
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -435,6 +556,11 @@ def train_vocab(dataset: bytes, dictionary_path, results_dir,
 
     scorer = CandidateScorer(charset, using_capcode, norm_flag, cfg.backend)
     scorer.set_specials(special_set)
+    if cfg.backend == "tpu":
+        # arm the Pallas fast path on the full pool (superset placement;
+        # candidates are masked subsets, so kernels compile once per
+        # geometry for the whole run)
+        scorer.prepare_pallas(single_chars + tokens + special_tokens)
 
     header = {"using_capcode": using_capcode, "charset": charset,
               "norm_flag": norm_flag, "level": level}
@@ -564,12 +690,21 @@ def train_vocab(dataset: bytes, dictionary_path, results_dir,
             jobs_w.append((cand_tokens, work_type,
                            worker_cycle % max(1, len(worker_strips))))
             worker_cycle += 1
-        if cfg.backend == "native" and len(jobs_w) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=min(4, len(jobs_w))) as ex:
-                evaluated = list(ex.map(_evaluate, jobs_w))
+        # Asynchronous rounds (VERDICT r3 #4, trainvocab.go:1831-2293):
+        # worker threads keep scoring later candidates WHILE the master
+        # consumes earlier results (the streamed map below yields in
+        # submission order, so master decisions stay deterministic).  For
+        # the TPU backend two threads pipeline candidate build + table
+        # masking (host numpy) against device scoring.
+        from concurrent.futures import ThreadPoolExecutor
+        _pool = None
+        if len(jobs_w) > 1:
+            workers_n = (min(4, len(jobs_w)) if cfg.backend == "native"
+                         else 2)
+            _pool = ThreadPoolExecutor(max_workers=workers_n)
+            evaluated = _pool.map(_evaluate, jobs_w)
         else:
-            evaluated = [_evaluate(j) for j in jobs_w]
+            evaluated = (_evaluate(j) for j in jobs_w)
 
         for (cand_tokens, work_type, _w), (cand, use_full, score_result) \
                 in zip(jobs_w, evaluated):
@@ -646,6 +781,9 @@ def train_vocab(dataset: bytes, dictionary_path, results_dir,
                     for t in votes:
                         tokens_to_remove[t] = tokens_to_remove.get(t, 0) + 1
                     has_tokens_to_remove = True
+
+        if _pool is not None:
+            _pool.shutdown()
 
         # --- prune (master default branch :1962-2177) ---
         if has_tokens_to_remove or remaining < vocab_size_effective or no_more_vocabs:
