@@ -194,35 +194,39 @@ class CandidateScorer:
         max_len = max((len(d) for d in datasets), default=1)
         lanes, dispatches, buf_len = exact_score_geometry(
             _pow2(max(max_len, chunk)), chunk)
-        key = (chunk, lanes, dispatches, n_ids_cap, len(devices))
+        n_dev = len(devices)
+        # small training strips are per-call round-trip-bound on a tunneled
+        # chip: score a fixed batch of strips per device per call
+        batch = 16 if len(datasets) > n_dev else 1
+        key = (chunk, lanes, dispatches, n_ids_cap, len(devices), batch)
         step = pal["steps"].get(key)
         if step is None:
             step = make_pallas_score_step(
                 mesh, chunk, lanes, dispatches, n_ids_cap,
                 pal["has_delete"], 2 if self.charset == 2 else 1,
-                pal["match_fn"], pal["decide_fn"])
+                pal["match_fn"], pal["decide_fn"], batch=batch)
             pal["steps"][key] = step
             self.tpu_compiles += 1
         rep = NamedSharding(mesh, P())
         put = lambda t: jax.device_put(t, rep)  # noqa: E731
         tabs_dev = tuple(put(t) for t in tabs_args)
         planes_dev, bb_dev, ids3f_dev = put(planes), put(bb), put(ids3f)
-        n_dev = len(devices)
         total_tokens = 0
         miss_mask = np.zeros(256, np.int64)
-        for g in range(0, len(datasets), n_dev):
-            group = datasets[g:g + n_dev]
-            text = np.zeros((n_dev, buf_len), np.uint8)
-            ns = np.zeros(n_dev, np.int32)
+        per_call = n_dev * batch
+        for g in range(0, len(datasets), per_call):
+            group = datasets[g:g + per_call]
+            text = np.zeros((n_dev, batch, buf_len), np.uint8)
+            ns = np.zeros((n_dev, batch), np.int32)
             for i, d in enumerate(group):
                 a = np.frombuffer(d, np.uint8)
-                text[i, :len(a)] = a
-                ns[i] = len(a)
+                text[i // batch, i % batch, :len(a)] = a
+                ns[i // batch, i % batch] = len(a)
             s, n_tok, mm, sync_ok = step(
                 jax.device_put(jnp.asarray(text),
-                               NamedSharding(mesh, P("data", None))),
+                               NamedSharding(mesh, P("data", None, None))),
                 jax.device_put(jnp.asarray(ns),
-                               NamedSharding(mesh, P("data"))),
+                               NamedSharding(mesh, P("data", None))),
                 jnp.int32(se), jnp.int32(del_tok),
                 tabs_dev, planes_dev, bb_dev, ids3f_dev)
             if not bool(sync_ok):
@@ -559,8 +563,12 @@ def train_vocab(dataset: bytes, dictionary_path, results_dir,
     if cfg.backend == "tpu":
         # arm the Pallas fast path on the full pool (superset placement;
         # candidates are masked subsets, so kernels compile once per
-        # geometry for the whole run)
-        scorer.prepare_pallas(single_chars + tokens + special_tokens)
+        # geometry for the whole run).  On the CPU backend the kernels
+        # would run interpret-mode (tests only) — keep the compiled XLA
+        # decision engine there unless explicitly forced.
+        import jax as _jax
+        if _jax.default_backend() != "cpu" or os.environ.get("TM_PAL_INTERP"):
+            scorer.prepare_pallas(single_chars + tokens + special_tokens)
 
     header = {"using_capcode": using_capcode, "charset": charset,
               "norm_flag": norm_flag, "level": level}
@@ -792,6 +800,17 @@ def train_vocab(dataset: bytes, dictionary_path, results_dir,
             removed = before - len(tokens)
             zero_removed = zero_removed + 1 if removed == 0 else 0
             remaining = len(tokens)
+            # big pools start above the Pallas VMEM gate; once pruning
+            # brings the pool under it, arm the fast path for the rest of
+            # the run (before the 2x snapshot, so resurrected tokens stay
+            # inside the superset)
+            if (cfg.backend == "tpu" and scorer._pal is None
+                    and remaining + vocab_diff <= 140_000):
+                import jax as _jax
+                if (_jax.default_backend() != "cpu"
+                        or os.environ.get("TM_PAL_INTERP")):
+                    scorer.prepare_pallas(
+                        single_chars + tokens + special_tokens)
             log.info("round %d: deleted %d; remaining %d%s", round_no,
                      removed, remaining + vocab_diff,
                      " [final]" if reached_vocab else
