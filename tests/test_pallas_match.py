@@ -65,3 +65,43 @@ def test_kernel_interpret_random(capcode_vocab):  # noqa: F811
     want = np.zeros(total, np.uint32)
     want[:n] = _dict_oracle(capcode_vocab, bytes(pad[:n]))
     np.testing.assert_array_equal(got, want)
+
+
+def test_full_hash_collision_overflow():
+    """Keys whose full 32-bit poly hash collides (e.g. the real pair
+    b'D ncate' / b'D recti' found in the round-4 training pool) cannot be
+    CHD-displaced apart — they must route to direct-compare overflow
+    probes and still match exactly."""
+    import jax
+    import numpy as np
+
+    from tokenmonster_tpu.ops.hashmatch import (build_hashmatch,
+                                                host_longest_match,
+                                                poly_hash)
+    from tokenmonster_tpu.ops.pallas_match import TILE_ROWS, make_match_kernel
+    assert int(poly_hash(b"D ncate")) == int(poly_hash(b"D recti"))
+    keys = [b" the", b"the", b"D ncate", b"D recti", b" ", b"a", b"e",
+            b"ncate", b"recti", b"D r"]
+    tabs = build_hashmatch(keys, space_prefix=b" ")
+    assert sum(len(c.ovf_keys or ()) for c in tabs.classes) == 1
+    fn = make_match_kernel(tabs, interpret=True)
+    data = b"the D ncateD recti a theD r ncate recti" * 3
+    buf = np.zeros(128 * TILE_ROWS, np.uint8)
+    buf[:len(data)] = np.frombuffer(data, np.uint8)
+    m, _mb = fn(jax.numpy.asarray(buf), len(data))
+    m = np.asarray(m)
+
+    def brute(p):
+        best = (0, 0)
+        for i, k in enumerate(keys):
+            if data[p:p + len(k)] == k and len(k) > best[1]:
+                best = (i, len(k))
+        return best
+
+    for p in range(len(data)):
+        i, l = brute(p)
+        want = 0 if l == 0 else (i << 6) | l
+        assert m[p] == want, p
+        hi, hl = host_longest_match(tabs, data, p)
+        hwant = 0 if hl == 0 else (hi << 6) | hl
+        assert m[p] == hwant, p

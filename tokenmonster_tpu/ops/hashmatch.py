@@ -79,6 +79,11 @@ class ClassTable:
     disp: np.ndarray             # (B,) int32 displacements
     fields: np.ndarray = None    # (n_fields, S/128, 128) f32 kernel planes
     n_keys: int = 0
+    # keys whose FULL 32-bit hash collides with another key can never be
+    # displaced apart (same bucket, same g for every salt) — they leave the
+    # hash table and get direct-compare probes in the kernel instead
+    ovf_keys: list = None        # list[bytes]
+    ovf_idx: list = None         # list[int] dictionary indices
 
     @property
     def n_rows(self) -> int:
@@ -98,6 +103,24 @@ def build_class_table(keys: list[bytes], indices: list[int],
     kernel is proportional to table rows, so density is throughput) and
     grows only on placement failure."""
     length = len(keys[0])
+    # full-hash collisions are unplaceable at any size/salt (identical h
+    # => identical bucket AND g): route all but the first of each h-group
+    # to direct-compare overflow probes
+    ovf_keys: list = []
+    ovf_idx: list = []
+    seen: dict = {}
+    keep_keys: list = []
+    keep_idx: list = []
+    for k, i in zip(keys, indices):
+        h = int(poly_hash(k))
+        if h in seen:
+            ovf_keys.append(k)
+            ovf_idx.append(i)
+        else:
+            seen[h] = True
+            keep_keys.append(k)
+            keep_idx.append(i)
+    keys, indices = keep_keys, keep_idx
     K = len(keys)
     cols = length + IDX_BYTES
     spr = max(1, 128 // cols)
@@ -181,7 +204,8 @@ def build_class_table(keys: list[bytes], indices: list[int],
         fields[nf - 1, r7, l7] = indices[i] + 1
     return ClassTable(length=length, cols=cols, spr=spr, s_bits=s_bits,
                       b_bits=b_bits, salt=salt, rows=rows,
-                      occupied=occupied, disp=disp, fields=fields, n_keys=K)
+                      occupied=occupied, disp=disp, fields=fields, n_keys=K,
+                      ovf_keys=ovf_keys, ovf_idx=ovf_idx)
 
 
 @dataclass
@@ -296,6 +320,9 @@ def host_longest_match(tables: HashMatchTables, data: bytes, p: int):
             (int(slot[l + 2]) << 16)
         if idx1 != 0 and bytes(slot[:l]) == data[p:p + l]:
             best_idx, best_len = idx1 - 1, l
+        for k, i in zip(c.ovf_keys or (), c.ovf_idx or ()):
+            if data[p:p + l] == k:
+                best_idx, best_len = i, l
     return best_idx, best_len
 
 
@@ -334,4 +361,7 @@ def host_longest_space_match(tables: HashMatchTables, data: bytes, p: int):
             (int(slot[l + 2]) << 16)
         if idx1 != 0 and bytes(slot[:l]) == data[p:p + l]:
             best_idx, best_len = idx1 - 1, l + tables.lil_off
+        for k, i in zip(c.ovf_keys or (), c.ovf_idx or ()):
+            if data[p:p + l] == k:
+                best_idx, best_len = i, l + tables.lil_off
     return best_idx, best_len

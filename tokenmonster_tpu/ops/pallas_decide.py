@@ -49,11 +49,12 @@ W3_SHIFT = 20
 
 def build_meta_planes(vocab):
     """Per-token metadata planes keyed by dictionary index (idx -> row
-    idx>>7, lane idx&127).  Fields (f32-exact, <= 2^24):
-      0: flag | nwords<<8
-      1: len1 | len2<<8 | anw2<<16
-      2: aflag1 | anw1<<8 | aflag2<<16
-    Returns (planes (3, R, 128) f32, bb_plane (2,128) f32)."""
+    idx>>7, lane idx&127).  Packed i32 (full 32 bits per plane — two
+    select-sum fetches per position instead of the three the f32-exact
+    24-bit layout needed):
+      0: flag | nwords<<8 | len1<<16 | len2<<24
+      1: aflag1 | anw1<<8 | aflag2<<16 | anw2<<24
+    Returns (planes (2, R, 128) i32, bb_plane (2,128) f32)."""
     n = len(vocab.tokens)
     i1c = np.minimum(vocab.index1.astype(np.int64), max(n - 1, 0))
     i2c = np.minimum(vocab.index2.astype(np.int64), max(n - 1, 0))
@@ -63,15 +64,16 @@ def build_meta_planes(vocab):
     anw1 = np.where(has1, vocab.nwords[i1c], 0).astype(np.int64)
     af2 = np.where(has2, vocab.flag[i2c], 0).astype(np.int64)
     anw2 = np.where(has2, vocab.nwords[i2c], 0).astype(np.int64)
-    f0 = vocab.flag.astype(np.int64) | (vocab.nwords.astype(np.int64) << 8)
-    f1 = (vocab.len1.astype(np.int64) | (vocab.len2.astype(np.int64) << 8)
-          | (anw2 << 16))
-    f2 = af1 | (anw1 << 8) | (af2 << 16)
+    f0 = (vocab.flag.astype(np.int64)
+          | (vocab.nwords.astype(np.int64) << 8)
+          | (vocab.len1.astype(np.int64) << 16)
+          | (vocab.len2.astype(np.int64) << 24))
+    f1 = af1 | (anw1 << 8) | (af2 << 16) | (anw2 << 24)
     R = max(8, -(-n // 128 // 8) * 8)
-    planes = np.zeros((3, R, 128), np.float32)
-    for j, f in enumerate((f0, f1, f2)):
-        p = np.zeros(R * 128, np.float32)
-        p[:n] = f.astype(np.float32)
+    planes = np.zeros((2, R, 128), np.int32)
+    for j, f in enumerate((f0, f1)):
+        p = np.zeros(R * 128, np.int32)
+        p[:n] = f.astype(np.int32)
         planes[j] = p.reshape(R, 128)
     bb = np.zeros(256, np.float32)
     bb[:] = vocab.begin_byte.astype(np.float32)
@@ -139,7 +141,7 @@ def make_decide_kernel(vocab, interpret: bool = False):
                     plane, jnp.broadcast_to(sl, (PR, 128)), axis=1)
                 ohT = (jnp.broadcast_to(sr, (PR, 128))
                        == jax.lax.broadcasted_iota(jnp.int32, (PR, 128), 0))
-                cur = jnp.where(ohT, shuf, 0.0)
+                cur = jnp.where(ohT, shuf, 0)
                 n_r = PR
                 while n_r > 1:
                     half = n_r // 2
@@ -155,7 +157,7 @@ def make_decide_kernel(vocab, interpret: bool = False):
                     cur = nxt
                     n_r = half
                 rows_out.append(cur)
-            return jnp.concatenate(rows_out, axis=0).astype(jnp.int32)
+            return jnp.concatenate(rows_out, axis=0)
 
         # begin-byte classes for every byte
         b_all = bb_ref[:]
@@ -169,12 +171,10 @@ def make_decide_kernel(vocab, interpret: bool = False):
         # lookaheads window over these, so they must be position-parallel)
         mF0 = meta_fetch(0, m >> 6)
         mF1 = meta_fetch(1, m >> 6)
-        mF2 = meta_fetch(2, m >> 6)
         if has_delete:
             mb = mb_ref[pl.ds(base_row, R2), :].astype(jnp.int32)
             bF0 = meta_fetch(0, mb >> 6)
             bF1 = meta_fetch(1, mb >> 6)
-            bF2 = meta_fetch(2, mb >> 6)
 
         NEGS = jnp.int32(NEG)
 
@@ -182,17 +182,17 @@ def make_decide_kernel(vocab, interpret: bool = False):
             """One forward-delete row of the decision table: the exact
             6-branch transition at every position given carried fd."""
             if fd:
-                mf, F0, F1, F2 = mb, bF0, bF1, bF2
+                mf, F0, F1 = mb, bF0, bF1
             else:
-                mf, F0, F1, F2 = m, mF0, mF1, mF2
+                mf, F0, F1 = m, mF0, mF1
             cur_idx = mf >> 6
             cur_len = (mf & 63) - fd * lil_off
             found = mf != 0
 
-            of, onw = F0 & 0xFF, F0 >> 8
-            olen1, olen2 = F1 & 0xFF, (F1 >> 8) & 0xFF
-            af1, anw1 = F2 & 0xFF, (F2 >> 8) & 0xFF
-            af2, anw2 = (F2 >> 16) & 0xFF, (F1 >> 16) & 0xFF
+            of, onw = F0 & 0xFF, (F0 >> 8) & 0xFF
+            olen1, olen2 = (F0 >> 16) & 0xFF, (F0 >> 24) & 0xFF
+            af1, anw1 = F1 & 0xFF, (F1 >> 8) & 0xFF
+            af2, anw2 = (F1 >> 16) & 0xFF, (F1 >> 24) & 0xFF
 
             bb_i1 = win(bb, cur_len)
             do_eval = found & (pos_abs + cur_len < n_valid) & (
@@ -212,7 +212,7 @@ def make_decide_kernel(vocab, interpret: bool = False):
             valid_nb = [valid_first[r] & (m3[r] != 0) for r in range(3)]
             sF0 = [win(mF0, delta3[r]) for r in range(3)]
             sf = [sF0[r] & 0xFF for r in range(3)]
-            snw = [sF0[r] >> 8 for r in range(3)]
+            snw = [(sF0[r] >> 8) & 0xFF for r in range(3)]
             nb_nb = [win(bb, delta3[r] + s_len[r]) for r in range(3)]
 
             scores = []
@@ -240,7 +240,7 @@ def make_decide_kernel(vocab, interpret: bool = False):
                     secb_lenf = mb3[r] & 63
                     secb_len = secb_lenf - lil_off
                     sfb = sbF0[r] & 0xFF
-                    snwb = sbF0[r] >> 8
+                    snwb = (sbF0[r] >> 8) & 0xFF
                     want_b = (valid_nb[r] & ((sf[r] & 2) != 0)
                               & (nb_nb[r] == 1) & (snw[r] == 0)
                               & (secb_lenf > s_len[r] + 1))

@@ -154,13 +154,30 @@ def flat_tables(tables: HashMatchTables, alive: np.ndarray | None = None):
     return tuple(args)
 
 
+def smem_scalars(tables: HashMatchTables,
+                 alive: np.ndarray | None = None) -> np.ndarray:
+    """The per-call SMEM scalar vector (excluding n, which is prepended by
+    the wrapper): [space_empty+1, overflow_idx+1 ...] — the bare-prefix
+    token and the direct-compare overflow keys (full-hash collisions),
+    each 0 when absent or masked dead for the candidate."""
+    se = tables.space_empty
+    if se < 0 or (alive is not None and not alive[se]):
+        se_v = 0
+    else:
+        se_v = se + 1
+    out = [se_v]
+    for classes in (tables.classes, tables.space_classes or []):
+        for c in classes:
+            for i in (c.ovf_idx or []):
+                dead = alive is not None and not alive[i]
+                out.append(0 if dead else i + 1)
+    return np.asarray(out, np.int32)
+
+
 def space_empty_scalar(tables: HashMatchTables,
                        alive: np.ndarray | None = None) -> int:
     """space_empty dictionary index + 1 (0 = none / dead)."""
-    se = tables.space_empty
-    if se < 0 or (alive is not None and not alive[se]):
-        return 0
-    return se + 1
+    return int(smem_scalars(tables, alive)[0])
 
 
 def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
@@ -186,6 +203,13 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
     if sp_classes:
         max_len = max(max_len, max(c.length for c in sp_classes))
     R_TOT = TILE_ROWS + MARGIN_ROWS
+    # SMEM layout: [n, space_empty+1, ovf...] — per-class overflow offsets
+    ovf_off = []
+    acc = 0
+    for c in list(classes) + list(sp_classes):
+        ovf_off.append(acc)
+        acc += len(c.ovf_keys or ())
+    n_ovf = acc
     field_tbls, disp_tbls, single_tbl = build_device_tables(tables)
     sp_field_tbls, sp_disp_tbls = _class_device_tables(sp_classes)
     if has_space:
@@ -325,9 +349,12 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
                 rows_out.append(val)
             return jnp.concatenate(rows_out, axis=0)
 
-        def probe_class(c, fref, dref, l, cur_best, out_len):
+        def probe_class(c, fref, dref, l, cur_best, out_len, ovf_base):
             """Probe class ``c`` (stripped key length l) against the running
-            hash; on exact hit store ((idx) << 6) | out_len into cur_best."""
+            hash; on exact hit store ((idx) << 6) | out_len into cur_best.
+            Overflow keys (full-hash collisions, excluded from the table)
+            are direct-compared against the text windows, their masked
+            indices read from SMEM slots starting at ``ovf_base``."""
             rr_f = -(-(1 << c.s_bits) // 128)      # real field-plane rows
             rr_d = max(1, -(-(1 << c.b_bits) // 128))
             if c.b_bits:
@@ -361,7 +388,19 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
             idx1 = plane_lookup(fref.at[c.n_key_fields], srow, slane,
                                 real_rows=rr_f).astype(jnp.int32)
             hit = (~mism) & (idx1 > 0) & (pos_abs + l <= n_valid)
-            return jnp.where(hit, ((idx1 - 1) << 6) | out_len, cur_best)
+            cur_best = jnp.where(hit, ((idx1 - 1) << 6) | out_len, cur_best)
+            for j, kk in enumerate(c.ovf_keys or ()):
+                ov = n_ref[2 + ovf_base + j]
+                oh = (ov > 0) & (pos_abs + l <= n_valid)
+                for f in range(c.n_key_fields):
+                    nbytes = min(3, l - 3 * f)
+                    const = (kk[3 * f]
+                             + (256 * kk[3 * f + 1] if nbytes >= 2 else 0)
+                             + (65536 * kk[3 * f + 2] if nbytes >= 3 else 0))
+                    oh = oh & (wtriple(f, nbytes) == const)
+                cur_best = jnp.where(oh, ((ov - 1) << 6) | out_len,
+                                     cur_best)
+            return cur_best
 
         ci = 0
         si = 0
@@ -373,33 +412,34 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
             h = (h ^ (h >> U32(11))).astype(U32)
             if ci < n_cls and classes[ci].length == l:
                 best = probe_class(classes[ci], refs[ci], refs[n_cls + ci],
-                                   l, best, l)
+                                   l, best, l, ovf_off[ci])
                 ci += 1
             if has_space and si < n_sp and sp_classes[si].length == l:
                 # same stripped-prefix hash stream; reported length includes
                 # the virtual space prefix
                 bestb = probe_class(
                     sp_classes[si], refs[2 * n_cls + si],
-                    refs[2 * n_cls + n_sp + si], l, bestb, l + lil_off)
+                    refs[2 * n_cls + n_sp + si], l, bestb, l + lil_off,
+                    ovf_off[n_cls + si])
                 si += 1
 
         out_ref[pl.ds(base_row, TILE_ROWS), :] = best[:TILE_ROWS]
         if has_space:
             outb_ref[pl.ds(base_row, TILE_ROWS), :] = bestb[:TILE_ROWS]
 
-    baked_se = tables.space_empty + 1 if tables.space_empty >= 0 else 0
+    baked_extra = jnp.asarray(smem_scalars(tables))
 
     @jax.jit
     def match(text, n=None, tabs=None, space_empty=None):
         """tabs: optional runtime table tuple (flat_tables) — same
         geometry as the build tables; defaults to the baked arrays.
-        space_empty: idx+1 of the bare-prefix token (space_empty_scalar);
-        defaults to the build vocabulary's."""
+        space_empty: the smem_scalars vector ([space_empty+1, ovf+1...],
+        possibly candidate-masked); defaults to the build vocabulary's."""
         N = text.shape[0]
         if n is None:
             n = N
         if space_empty is None:
-            space_empty = baked_se
+            space_empty = baked_extra
         rows = N // 128
         n_tiles = rows // TILE_ROWS
         t2 = jnp.concatenate([
@@ -410,8 +450,9 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)
                      for _ in range(n_vmem_in)]
         out_shape = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
-        smem = jnp.stack([jnp.asarray(n, jnp.int32),
-                          jnp.asarray(space_empty, jnp.int32)])
+        smem = jnp.concatenate([
+            jnp.asarray(n, jnp.int32).reshape(1),
+            jnp.asarray(space_empty, jnp.int32).reshape(-1)])
         if tabs is None:
             if has_space:
                 tabs = (*field_tbls, *disp_tbls, *sp_field_tbls,

@@ -23,7 +23,7 @@ def candidate_runtime_state(pal: dict, cand):
     import jax.numpy as jnp
 
     from ..ops.pallas_decide import build_meta_planes
-    from ..ops.pallas_match import flat_tables, space_empty_scalar
+    from ..ops.pallas_match import flat_tables, smem_scalars
 
     v_sup = pal["v_sup"]
     sup_index = pal["sup_index"]
@@ -47,10 +47,11 @@ def candidate_runtime_state(pal: dict, cand):
 
     # candidate metadata at superset positions
     planes_c, bb_c = build_meta_planes(cand)
+    n_planes = planes_c.shape[0]
     Rs = max(8, -(-n_sup // 128 // 8) * 8)
-    planes_sup = np.zeros((3, Rs, 128), np.float32)
-    flat = planes_sup.reshape(3, Rs * 128)
-    cflat = planes_c.reshape(3, -1)
+    planes_sup = np.zeros((n_planes, Rs, 128), planes_c.dtype)
+    flat = planes_sup.reshape(n_planes, Rs * 128)
+    cflat = planes_c.reshape(n_planes, -1)
     flat[:, pos] = cflat[:, :len(cand.tokens)]
 
     ids3 = np.zeros((Rs * 128, 3), np.uint32)
@@ -60,7 +61,7 @@ def candidate_runtime_state(pal: dict, cand):
     ids3f = ids3.reshape(-1)
 
     tabs_args = flat_tables(pal["tabs"], alive)
-    se = space_empty_scalar(pal["tabs"], alive)
+    se = smem_scalars(pal["tabs"], alive)
     del_tok = int(cand.delete_token) & 0xFFFFFF
     return (tabs_args, se,
             jnp.asarray(planes_sup), jnp.asarray(bb_c),

@@ -227,7 +227,7 @@ class CandidateScorer:
                                NamedSharding(mesh, P("data", None, None))),
                 jax.device_put(jnp.asarray(ns),
                                NamedSharding(mesh, P("data", None))),
-                jnp.int32(se), jnp.int32(del_tok),
+                jnp.asarray(se), jnp.int32(del_tok),
                 tabs_dev, planes_dev, bb_dev, ids3f_dev)
             if not bool(sync_ok):
                 from .. import native
