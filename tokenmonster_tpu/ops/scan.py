@@ -672,9 +672,12 @@ class TpuTokenizer:
             if use_compact:
                 from .pallas_stitch import device_stitch_compact
                 # fold the delete marker into the token words, then go
-                # lane-major for the compactor's per-lane streams
+                # lane-major for the compactor's per-lane streams (XLA's
+                # u32 transpose is ~40% slower than i32 — bitcast around it)
                 toks_aug = toks | (((recs >> 2) & 1) << 22)
-                toksT = toks_aug.T.reshape(n_lanes * (t_rec // 128), 128)
+                toksT = jax.lax.bitcast_convert_type(
+                    jax.lax.bitcast_convert_type(toks_aug, jnp.int32).T,
+                    jnp.uint32).reshape(n_lanes * (t_rec // 128), 128)
                 out, count, missing, start_next, sync_ok = \
                     device_stitch_compact(recs, toksT, start0, last_lane,
                                           final, compact_fn, out_cap)
