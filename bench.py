@@ -89,7 +89,8 @@ def build_capcode_vocab():
 
 
 def fnv1a64(ids) -> int:
-    """FNV-1a over the little-endian u32 id stream (vectorized)."""
+    """FNV-1a over the little-endian u32 id stream (pure-Python
+    byte loop: ~0.7 s/M ids — acceptable at bench sizes)."""
     h = 0xCBF29CE484222325
     for b in np.asarray(ids, np.uint32).astype("<u4").tobytes():
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF

@@ -139,6 +139,8 @@ class Vocab:
         self._native = None  # rebuilt lazily after any modification
         self._tpu = None
         self._route_rates = {"native": None, "tpu": None}
+        self._route_calls = 0
+        self._tpu_warm = False
         core = self._core
         self.vocab_size = core.vocab_size
         self.charset_code = core.charset
@@ -275,14 +277,24 @@ class Vocab:
                     exc_info=True)
         return self._tpu or None
 
+    # re-probe the losing path after this many routed calls so a transient
+    # slowdown (or the one-time compile) cannot lock a route out forever
+    _REPROBE_EVERY = 64
+
     def _pick_route(self) -> str:
         """Measured-rate routing for TPU-candidate inputs: probe each path
-        once (a real call doubles as the probe), then keep the faster."""
+        (a real call doubles as the probe), keep the faster, and
+        periodically re-probe the loser."""
         r = self._route_rates
         if r["tpu"] is None:
             return "tpu"
         if r["native"] is None:
             return "native"
+        self._route_calls += 1
+        if self._route_calls % self._REPROBE_EVERY == 0:
+            loser = "tpu" if r["tpu"] < r["native"] else "native"
+            r[loser] = None
+            return loser
         return "tpu" if r["tpu"] >= r["native"] else "native"
 
     def _tokenize_one(self, item) -> np.ndarray:
@@ -292,8 +304,15 @@ class Vocab:
         if len(normalized) >= self.TPU_THRESHOLD:
             tk = self._tpu_tokenizer()
             if tk is not None and self._pick_route() == "tpu":
-                t0 = time.monotonic()
                 with _TPU_LOCK:
+                    if not self._tpu_warm:
+                        # first device call pays jit/Mosaic compilation —
+                        # never let it into the measured rate (it would
+                        # lock the TPU route out, the opposite of intent)
+                        self._tpu_warm = True
+                        ids, _missing = tk.tokenize(normalized)
+                        return ids.astype(self._ids_dtype())
+                    t0 = time.monotonic()
                     ids, _missing = tk.tokenize(normalized)
                 self._route_rates["tpu"] = (
                     len(normalized) / max(time.monotonic() - t0, 1e-9))

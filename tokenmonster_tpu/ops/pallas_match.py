@@ -86,9 +86,28 @@ def _pad_rows8(a):
     return np.concatenate([a, pad], axis=-2)
 
 
-def _class_device_tables(classes):
-    field_tbls = [jnp.asarray(_pad_rows8(c.fields), jnp.float32)
-                  for c in classes]
+def _single_tbl(single, alive=None):
+    """(2,128) f32 direct table of idx+1 by byte value, optionally masked."""
+    sv = single.astype(np.int64)
+    if alive is not None:
+        live = alive[np.maximum(sv, 0)]
+        sv = np.where((sv >= 0) & live, sv, -1)
+    return jnp.asarray((sv + 1).astype(np.float32).reshape(2, 128))
+
+
+def _class_device_tables(classes, alive=None):
+    """Per-class field + displacement planes in kernel layout.  With
+    ``alive`` (bool per dictionary index), the idx+1 field plane of dead
+    tokens is zeroed — the masked tables behave as the sub-dictionary."""
+    field_tbls = []
+    for c in classes:
+        f = _pad_rows8(c.fields).astype(np.float32)
+        if alive is not None:
+            idxp = f[-1]                      # idx+1 plane
+            live = alive[np.maximum(idxp.astype(np.int64) - 1, 0)]
+            f = f.copy()
+            f[-1] = np.where((idxp > 0) & live, idxp, 0.0)
+        field_tbls.append(jnp.asarray(f))
     disp_tbls = []
     for c in classes:
         B = 1 << c.b_bits
@@ -103,9 +122,7 @@ def build_device_tables(tables: HashMatchTables):
     """Device-resident arrays: per-class field planes + displacement planes
     + the 256-entry single-byte table."""
     field_tbls, disp_tbls = _class_device_tables(tables.classes)
-    single_tbl = jnp.asarray(
-        (tables.single.astype(np.int64) + 1).astype(np.float32).reshape(2, 128))
-    return field_tbls, disp_tbls, single_tbl
+    return field_tbls, disp_tbls, _single_tbl(tables.single)
 
 
 def flat_tables(tables: HashMatchTables, alive: np.ndarray | None = None):
@@ -116,41 +133,14 @@ def flat_tables(tables: HashMatchTables, alive: np.ndarray | None = None):
     displacements) then behaves as the sub-dictionary, which is how the
     trainer scores candidate vocabularies without rebuilding or
     recompiling (superset placement, per-candidate masking)."""
-    def np_fields(classes):
-        out = []
-        for c in classes:
-            f = _pad_rows8(c.fields).astype(np.float32)
-            if alive is not None:
-                idxp = f[-1]                      # idx+1 plane
-                live = alive[np.maximum(idxp.astype(np.int64) - 1, 0)]
-                f = f.copy()
-                f[-1] = np.where((idxp > 0) & live, idxp, 0.0)
-            out.append(jnp.asarray(f))
-        return out
-
-    def np_disp(classes):
-        out = []
-        for c in classes:
-            B = 1 << c.b_bits
-            padded = np.zeros((max(1, -(-B // 128)) * 128,), np.float32)
-            padded[:B] = c.disp.astype(np.float32)
-            out.append(jnp.asarray(_pad_rows8(padded.reshape(-1, 128))))
-        return out
-
-    def np_single(single):
-        s = single.astype(np.int64)
-        if alive is not None:
-            live = alive[np.maximum(s, 0)]
-            s = np.where((s >= 0) & live, s, -1)
-        return jnp.asarray((s + 1).astype(np.float32).reshape(2, 128))
-
-    args = [*np_fields(tables.classes), *np_disp(tables.classes)]
+    f_main, d_main = _class_device_tables(tables.classes, alive)
+    args = [*f_main, *d_main]
     if tables.has_space:
-        args += [*np_fields(tables.space_classes),
-                 *np_disp(tables.space_classes),
-                 np_single(tables.single), np_single(tables.space_single)]
+        f_sp, d_sp = _class_device_tables(tables.space_classes, alive)
+        args += [*f_sp, *d_sp, _single_tbl(tables.single, alive),
+                 _single_tbl(tables.space_single, alive)]
     else:
-        args.append(np_single(tables.single))
+        args.append(_single_tbl(tables.single, alive))
     return tuple(args)
 
 
@@ -173,11 +163,6 @@ def smem_scalars(tables: HashMatchTables,
                 out.append(0 if dead else i + 1)
     return np.asarray(out, np.int32)
 
-
-def space_empty_scalar(tables: HashMatchTables,
-                       alive: np.ndarray | None = None) -> int:
-    """space_empty dictionary index + 1 (0 = none / dead)."""
-    return int(smem_scalars(tables, alive)[0])
 
 
 def make_match_kernel(tables: HashMatchTables, interpret: bool = False,

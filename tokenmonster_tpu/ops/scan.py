@@ -499,6 +499,7 @@ class TpuTokenizer:
         self._fused = {}
         self._fused_stitch = {}
         self._finalize = {}
+        self._chains = {}
         # Pallas engine (ops/pallas_match + ops/pallas_decide): the fast
         # device path — VMEM hash-probe match + in-kernel 6-branch decision.
         # Delete-token vocabularies (capcode 1/2 — every TokenMonster-trained
@@ -746,25 +747,63 @@ class TpuTokenizer:
             bufs.append((jnp.asarray(buf), min(n - off, total), lr))
         return (n, L, bufs)
 
+    MAX_FUSED_DISPATCHES = 8   # chain length folded into ONE jit call (one
+                               # enqueue round-trip instead of one per
+                               # dispatch — ~8 ms each over the tunnel)
+
     def _run_staged(self, staged):
         """Enqueue the full chained pipeline; returns per-dispatch device
-        outputs (no host sync)."""
+        outputs (no host sync).  Short chains run as a single fused jit
+        call; longer texts fall back to per-dispatch enqueue."""
         n, L, bufs = staged
         dv = self.dv
         fn = self._fused_stitch_fn(L)
         sdfa = dv.space_dfa if dv.space_dfa is not None else dv.main_dfa
         sout = dv.space_out if dv.space_out is not None else dv.main_out
+        tables = (dv.main_dfa, dv.main_out, sdfa, sout, self._bb_byte,
+                  dv.p1, dv.index1, dv.index2, dv.ids, dv.meta5)
+        k = len(bufs)
+        if 1 < k <= self.MAX_FUSED_DISPATCHES:
+            runk = self._chain_fn(L, k, fn)
+            flat = runk([b for b, _n, _l in bufs],
+                        jnp.asarray([n_slice for _b, n_slice, _l in bufs],
+                                    jnp.int32),
+                        jnp.asarray([lr for _b, _n, lr in bufs], jnp.int32),
+                        *tables)
+            return [tuple(flat[4 * i:4 * i + 4]) for i in range(k)]
         start0 = jnp.int32(0)
         outs = []
         for i, (buf, n_slice, lr) in enumerate(bufs):
-            final = jnp.bool_(i == len(bufs) - 1)
+            final = jnp.bool_(i == k - 1)
             out, count, missing, start_next, sync_ok = fn(
                 buf, jnp.int32(n_slice), start0, jnp.int32(lr), final,
-                dv.main_dfa, dv.main_out, sdfa, sout, self._bb_byte,
-                dv.p1, dv.index1, dv.index2, dv.ids, dv.meta5)
+                *tables)
             outs.append((out, count, missing, sync_ok))
             start0 = start_next
         return outs
+
+    def _chain_fn(self, n_lanes: int, k: int, inner):
+        """Jitted k-dispatch chain: the bridge skip flows as a traced
+        scalar, one device call for the whole text."""
+        key = (n_lanes, k)
+        fn = self._chains.get(key)
+        if fn is not None:
+            return fn
+
+        def run_all(bufs, ns, lrs, *tables):
+            start0 = jnp.int32(0)
+            outs = []
+            for i in range(k):
+                final = jnp.bool_(i == k - 1)
+                out, count, missing, start_next, sync_ok = inner(
+                    bufs[i], ns[i], start0, lrs[i], final, *tables)
+                outs += [out, count, missing, sync_ok]
+                start0 = start_next
+            return outs
+
+        fn = jax.jit(run_all)
+        self._chains[key] = fn
+        return fn
 
     def _meta_concat_fns(self, k: int):
         """Jitted helpers per dispatch count: one (3k,) scalar-metadata

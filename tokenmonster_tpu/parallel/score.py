@@ -252,7 +252,7 @@ def make_exact_score_step(mesh: Mesh, chunk: int, lanes: int,
 
 def make_pallas_score_step(mesh: Mesh, chunk: int, lanes: int,
                            dispatches: int, n_ids_cap: int,
-                           has_delete: bool, lil_off: int,
+                           has_delete: bool,
                            match_fn, decide_fn, axis="data",
                            batch: int = 1):
     """Exact scorer on the PALLAS engine (VERDICT r3 #4): the trainer's

@@ -76,6 +76,9 @@ class CandidateScorer:
         self._tpu_steps: dict = {}
         self.tpu_compiles = 0
         self._pal = None     # pallas fast-path state (prepare_pallas)
+        import threading
+        self._step_lock = threading.Lock()  # threaded rounds share the
+                                            # jitted-step caches
 
     def build(self, token_list):
         """token_list: singles + tokens + specials (pre-encoded bytes)."""
@@ -199,14 +202,15 @@ class CandidateScorer:
         # chip: score a fixed batch of strips per device per call
         batch = 16 if len(datasets) > n_dev else 1
         key = (chunk, lanes, dispatches, n_ids_cap, len(devices), batch)
-        step = pal["steps"].get(key)
-        if step is None:
-            step = make_pallas_score_step(
-                mesh, chunk, lanes, dispatches, n_ids_cap,
-                pal["has_delete"], 2 if self.charset == 2 else 1,
-                pal["match_fn"], pal["decide_fn"], batch=batch)
-            pal["steps"][key] = step
-            self.tpu_compiles += 1
+        with self._step_lock:
+            step = pal["steps"].get(key)
+            if step is None:
+                step = make_pallas_score_step(
+                    mesh, chunk, lanes, dispatches, n_ids_cap,
+                    pal["has_delete"], pal["match_fn"], pal["decide_fn"],
+                    batch=batch)
+                pal["steps"][key] = step
+                self.tpu_compiles += 1
         rep = NamedSharding(mesh, P())
         put = lambda t: jax.device_put(t, rep)  # noqa: E731
         tabs_dev = tuple(put(t) for t in tabs_args)
@@ -271,14 +275,15 @@ class CandidateScorer:
         key = (chunk, lanes, dispatches, n_ids_cap,
                dv.space_dfa is not None, dv.delete_token & 0xFFFFFF,
                dv.lil_off, len(devices))
-        step = self._tpu_steps.get(key)
-        if step is None:
-            step = make_exact_score_step(
-                mesh, chunk, lanes, dispatches, n_ids_cap,
-                dv.space_dfa is not None, dv.delete_token & 0xFFFFFF,
-                lil_off=dv.lil_off)
-            self._tpu_steps[key] = step
-            self.tpu_compiles += 1
+        with self._step_lock:
+            step = self._tpu_steps.get(key)
+            if step is None:
+                step = make_exact_score_step(
+                    mesh, chunk, lanes, dispatches, n_ids_cap,
+                    dv.space_dfa is not None, dv.delete_token & 0xFFFFFF,
+                    lil_off=dv.lil_off)
+                self._tpu_steps[key] = step
+                self.tpu_compiles += 1
         rep = NamedSharding(mesh, P())
         tables_dev = tuple(jax.device_put(t, rep) for t in tables)
         n_dev = len(devices)
@@ -771,6 +776,11 @@ def train_vocab(dataset: bytes, dictionary_path, results_dir,
             if reached_vocab:
                 if no_new_best >= keep_trying:
                     log.info("finished: no new best in %d runs", no_new_best)
+                    if _pool is not None:
+                        # stop remaining queued candidates before the final
+                        # scoring pass (they'd contend for the device and
+                        # keep the process alive after the decision to stop)
+                        _pool.shutdown(wait=False, cancel_futures=True)
                     return _finish(dicts_within_1pct, best, best1percent,
                                    data_len)
                 if best != tokens_in_text and votes:
