@@ -164,8 +164,14 @@ def _tpu_child():
         rtt = time.time() - t0
         out["tunnel_rtt_ms"] = round(rtt * 1000, 1)
 
-        # device-resident sustained: queued dispatch chains + one scalar fetch
-        reps = 4
+        # device-resident sustained: queued dispatch chains + one scalar
+        # fetch.  The first loop after compilation measures high on this
+        # rig (DESIGN.md methodology) — run a throwaway loop first, then
+        # a longer steady-state loop.
+        for _ in range(2):
+            outs = tk._run_staged(staged)
+        _ = [int(o[1]) for o in outs]
+        reps = 10
         t0 = time.time()
         for _ in range(reps):
             outs = tk._run_staged(staged)
@@ -207,7 +213,9 @@ def _tpu_child():
                 ids_c, _miss_c = res_c
                 out["capcode_n_tokens"] = int(len(ids_c))
                 out["tpu_capcode_ids_fnv"] = str(fnv1a64(ids_c))
-                reps = 3
+                outs_c = tkc._run_staged(staged_c)   # steady-state entry
+                _ = [int(o[1]) for o in outs_c]
+                reps = 6
                 t0 = time.time()
                 for _ in range(reps):
                     outs_c = tkc._run_staged(staged_c)
