@@ -38,3 +38,30 @@ def test_tpu_route_parity(vocab, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got_full),
                                   np.asarray(ref_full))
     assert want.dtype == got_full.dtype
+
+
+def test_measured_rate_routing_excludes_compile_and_reprobes():
+    """The route probe must not count one-time compilation (it would lock
+    the TPU path out), and the losing path must be re-probed periodically
+    (round-4 review findings)."""
+    import tokenmonster_tpu as tm
+
+    v = tm.load(".tmp/gpt2_bench.vocab") if __import__("os").path.exists(
+        ".tmp/gpt2_bench.vocab") else None
+    if v is None:
+        import pytest
+        pytest.skip("bench vocab not cached")
+    # drive _pick_route directly with synthetic rates
+    v._route_rates = {"native": None, "tpu": None}
+    v._route_calls = 0
+    assert v._pick_route() == "tpu"          # unprobed -> probe tpu first
+    v._route_rates["tpu"] = 5e6
+    assert v._pick_route() == "native"       # then probe native
+    v._route_rates["native"] = 40e6
+    for _ in range(v._REPROBE_EVERY - 3):
+        assert v._pick_route() == "native"   # native wins steady-state
+    # the reprobe tick clears the loser and routes it once
+    routes = [v._pick_route() for _ in range(4)]
+    assert "tpu" in routes, routes
+    # warm flag: the first tpu call is never timed
+    assert v._tpu_warm is False

@@ -334,7 +334,8 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
                 rows_out.append(val)
             return jnp.concatenate(rows_out, axis=0)
 
-        def probe_class(c, fref, dref, l, cur_best, out_len, ovf_base):
+        def probe_class(c, fref, dref, l, cur_best, out_len, ovf_base,
+                        c1h):
             """Probe class ``c`` (stripped key length l) against the running
             hash; on exact hit store ((idx) << 6) | out_len into cur_best.
             Overflow keys (full-hash collisions, excluded from the table)
@@ -395,17 +396,21 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
             # that pure multiplicative updates suffer (hashmatch.poly_hash)
             h = ((h << U32(8)) + h + shift(l - 1).astype(U32)).astype(U32)
             h = (h ^ (h >> U32(11))).astype(U32)
-            if ci < n_cls and classes[ci].length == l:
+            has_main = ci < n_cls and classes[ci].length == l
+            has_sp = (has_space and si < n_sp
+                      and sp_classes[si].length == l)
+            c1h = _mul_terms(h, _C1_TERMS) if (has_main or has_sp) else None
+            if has_main:
                 best = probe_class(classes[ci], refs[ci], refs[n_cls + ci],
-                                   l, best, l, ovf_off[ci])
+                                   l, best, l, ovf_off[ci], c1h)
                 ci += 1
-            if has_space and si < n_sp and sp_classes[si].length == l:
+            if has_sp:
                 # same stripped-prefix hash stream; reported length includes
                 # the virtual space prefix
                 bestb = probe_class(
                     sp_classes[si], refs[2 * n_cls + si],
                     refs[2 * n_cls + n_sp + si], l, bestb, l + lil_off,
-                    ovf_off[n_cls + si])
+                    ovf_off[n_cls + si], c1h)
                 si += 1
 
         out_ref[pl.ds(base_row, TILE_ROWS), :] = best[:TILE_ROWS]
