@@ -63,5 +63,6 @@ def test_measured_rate_routing_excludes_compile_and_reprobes():
     # the reprobe tick clears the loser and routes it once
     routes = [v._pick_route() for _ in range(4)]
     assert "tpu" in routes, routes
-    # warm flag: the first tpu call is never timed
-    assert v._tpu_warm is False
+    # warm tracking: no chain geometry is warm yet, so the first tpu call
+    # for any input size is never timed
+    assert v._tpu_warm_geoms == set()

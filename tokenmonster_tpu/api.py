@@ -140,7 +140,11 @@ class Vocab:
         self._tpu = None
         self._route_rates = {"native": None, "tpu": None}
         self._route_calls = 0
-        self._tpu_warm = False
+        self._route_lock = threading.Lock()
+        # warm-up tracking is per chain geometry: each new (n_lanes, k)
+        # dispatch plan compiles its own fused chain, and that compile must
+        # never land in the measured routing rate
+        self._tpu_warm_geoms = set()
         core = self._core
         self.vocab_size = core.vocab_size
         self.charset_code = core.charset
@@ -284,18 +288,21 @@ class Vocab:
     def _pick_route(self) -> str:
         """Measured-rate routing for TPU-candidate inputs: probe each path
         (a real call doubles as the probe), keep the faster, and
-        periodically re-probe the loser."""
-        r = self._route_rates
-        if r["tpu"] is None:
-            return "tpu"
-        if r["native"] is None:
-            return "native"
-        self._route_calls += 1
-        if self._route_calls % self._REPROBE_EVERY == 0:
-            loser = "tpu" if r["tpu"] < r["native"] else "native"
-            r[loser] = None
-            return loser
-        return "tpu" if r["tpu"] >= r["native"] else "native"
+        periodically re-probe the loser.  State is mutated under
+        _route_lock so concurrent tokenize() callers cannot race the
+        probe bookkeeping."""
+        with self._route_lock:
+            r = self._route_rates
+            if r["tpu"] is None:
+                return "tpu"
+            if r["native"] is None:
+                return "native"
+            self._route_calls += 1
+            if self._route_calls % self._REPROBE_EVERY == 0:
+                loser = "tpu" if r["tpu"] < r["native"] else "native"
+                r[loser] = None
+                return loser
+            return "tpu" if r["tpu"] >= r["native"] else "native"
 
     def _tokenize_one(self, item) -> np.ndarray:
         if isinstance(item, str):
@@ -305,17 +312,21 @@ class Vocab:
             tk = self._tpu_tokenizer()
             if tk is not None and self._pick_route() == "tpu":
                 with _TPU_LOCK:
-                    if not self._tpu_warm:
-                        # first device call pays jit/Mosaic compilation —
-                        # never let it into the measured rate (it would
-                        # lock the TPU route out, the opposite of intent)
-                        self._tpu_warm = True
+                    lanes, plan = tk._plan(len(normalized))
+                    geom = (lanes, len(plan))
+                    if geom not in self._tpu_warm_geoms:
+                        # first device call for this chain geometry pays
+                        # jit/Mosaic compilation — never let it into the
+                        # measured rate (it would lock the TPU route out,
+                        # the opposite of intent)
+                        self._tpu_warm_geoms.add(geom)
                         ids, _missing = tk.tokenize(normalized)
                         return ids.astype(self._ids_dtype())
                     t0 = time.monotonic()
                     ids, _missing = tk.tokenize(normalized)
-                self._route_rates["tpu"] = (
-                    len(normalized) / max(time.monotonic() - t0, 1e-9))
+                with self._route_lock:
+                    self._route_rates["tpu"] = (
+                        len(normalized) / max(time.monotonic() - t0, 1e-9))
                 return ids.astype(self._ids_dtype())
         nv = self._native_vocab()
         t0 = time.monotonic()
@@ -324,8 +335,9 @@ class Vocab:
         else:
             ids, _missing = self._core.tokenize(item)
         if len(normalized) >= self.TPU_THRESHOLD:
-            self._route_rates["native"] = (
-                len(normalized) / max(time.monotonic() - t0, 1e-9))
+            with self._route_lock:
+                self._route_rates["native"] = (
+                    len(normalized) / max(time.monotonic() - t0, 1e-9))
         return ids.astype(self._ids_dtype())
 
     def tokenize(self, text):

@@ -33,11 +33,11 @@ def _cmd_getalltokens(argv):
     p.add_argument("-only-latin", action="store_true")
     p.add_argument("-only-valid", action="store_true")
     p.add_argument("-words-per-token", type=int, default=0)
-    p.add_argument("-prefilter-min-raw", type=int, default=-1,
+    p.add_argument("-prefilter-min-raw", type=int, default=1,
                    help="drop raw substrings seen fewer than N times before "
-                        "the mode filters (the at-scale default: 2 for "
-                        "datasets >= 10 MB, 1 below; ~6x faster counting "
-                        "at 100 MB with negligible pool loss)")
+                        "the mode filters (default 1 = reference-exact "
+                        "output; 2 is ~6x faster counting at 100 MB with "
+                        "negligible pool loss — opt in for large datasets)")
     a = p.parse_args(argv)
     from .train.getalltokens import get_all_tokens, save_tokens_file
     charset = {"utf-8": 1, "utf8": 1, "none": 0, "binary": 0}[a.charset.lower()]
@@ -53,8 +53,11 @@ def _cmd_getalltokens(argv):
         chunk_size=a.chunk_size, micro_chunks=a.micro_chunks,
         only_latin=a.only_latin, only_valid=a.only_valid,
         words_per_token=a.words_per_token,
-        prefilter_min_raw=(a.prefilter_min_raw if a.prefilter_min_raw > 0
-                           else (2 if len(data) >= 10 << 20 else 1)))
+        prefilter_min_raw=max(1, a.prefilter_min_raw))
+    if a.prefilter_min_raw > 1:
+        print(f"prefilter-min-raw={a.prefilter_min_raw}: raw substrings "
+              f"seen fewer times per micro-chunk were dropped before the "
+              f"mode filters (output may differ from the reference's)")
     save_tokens_file(a.output, counter, char_table, header)
     print(f"Saved: {a.output} ({len(counter)} tokens)")
 

@@ -31,6 +31,13 @@ def candidate_runtime_state(pal: dict, cand):
     has_delete = (cand.delete_token != 0xFFFFFF)
     if has_delete != pal["has_delete"] or cand.charset != v_sup.charset:
         return None
+    # the decide kernel bakes the superset's unk config (has_unk + literal
+    # unk id in the packed token words) — a candidate with a different unk
+    # config cannot reuse the compiled kernels
+    if (cand.unk_token != 0xFFFFFF) != (v_sup.unk_token != 0xFFFFFF) or (
+            cand.unk_token != 0xFFFFFF
+            and (cand.unk_token & 0xFFFFFF) != (v_sup.unk_token & 0xFFFFFF)):
+        return None
 
     alive = np.zeros(n_sup, bool)
     pos = np.empty(len(cand.tokens), np.int64)

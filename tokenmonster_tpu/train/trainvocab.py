@@ -12,9 +12,11 @@ Scoring backends:
   - "tpu":    mesh-sharded match+scan kernels with psum'd score vectors
               (parallel/score.py) — the BASELINE.json distributed mapping.
 
-The asynchronous Go worker pool is realised as a synchronous round of
-`workers` candidate evaluations per master iteration; the algorithm's
-decisions are sequenced identically.
+The asynchronous Go worker pool is realised as streamed rounds over a
+ThreadPoolExecutor: worker threads keep scoring later candidates while the
+master consumes earlier results in submission order, so pruning overlaps
+candidate scoring; the algorithm's decisions are sequenced identically to
+the reference's select loop.
 """
 
 from __future__ import annotations
