@@ -100,6 +100,7 @@ def make_decide_kernel(vocab, interpret: bool = False):
     TILE = TILE_ROWS_FD if has_delete else TILE_ROWS
     R2 = TILE + EXTRA_ROWS
     PR = planes_np.shape[1]
+    R_LOG = max(1, -(-len(vocab.tokens) // 128))  # logical meta rows
 
     def kernel(n_ref, *refs):
         if has_delete:
@@ -128,36 +129,13 @@ def make_decide_kernel(vocab, interpret: bool = False):
             b = jnp.take_along_axis(nxt, i1, axis=1)
             return jnp.where(lane + d < 128, a, b)
 
-        def meta_fetch(field, idx):
-            """planes[field][idx>>7, idx&127] per 128-position group."""
-            plane = planes_ref[field]
-            prow = idx >> 7
-            plane_lane = idx & 127
-            rows_out = []
-            for gq in range(R2):
-                sl = plane_lane[gq:gq + 1, :]
-                sr = prow[gq:gq + 1, :]
-                shuf = jnp.take_along_axis(
-                    plane, jnp.broadcast_to(sl, (PR, 128)), axis=1)
-                ohT = (jnp.broadcast_to(sr, (PR, 128))
-                       == jax.lax.broadcasted_iota(jnp.int32, (PR, 128), 0))
-                cur = jnp.where(ohT, shuf, 0)
-                n_r = PR
-                while n_r > 1:
-                    half = n_r // 2
-                    nxt = cur[:half, :] + cur[half:2 * half, :]
-                    if n_r % 2:
-                        tail = cur[2 * half:, :]
-                        if half == 1:
-                            nxt = nxt + tail
-                        else:
-                            nxt = jnp.concatenate(
-                                [nxt[:half - 1, :],
-                                 nxt[half - 1:half, :] + tail], axis=0)
-                    cur = nxt
-                    n_r = half
-                rows_out.append(cur)
-            return jnp.concatenate(rows_out, axis=0)
+        def meta_fetch2(idx):
+            """[planes[0][idx], planes[1][idx]] per 128-position group —
+            shared lane-shuffle indices + halving row-select
+            (ops/pallas_gather.py)."""
+            from .pallas_gather import fetch_planes
+            return fetch_planes([planes_ref[0], planes_ref[1]],
+                                idx >> 7, idx & 127, R_LOG, R2)
 
         # begin-byte classes for every byte
         b_all = bb_ref[:]
@@ -169,12 +147,10 @@ def make_decide_kernel(vocab, interpret: bool = False):
 
         # per-position metadata streams for both match tables (the branch
         # lookaheads window over these, so they must be position-parallel)
-        mF0 = meta_fetch(0, m >> 6)
-        mF1 = meta_fetch(1, m >> 6)
+        mF0, mF1 = meta_fetch2(m >> 6)
         if has_delete:
             mb = mb_ref[pl.ds(base_row, R2), :].astype(jnp.int32)
-            bF0 = meta_fetch(0, mb >> 6)
-            bF1 = meta_fetch(1, mb >> 6)
+            bF0, bF1 = meta_fetch2(mb >> 6)
 
         NEGS = jnp.int32(NEG)
 
