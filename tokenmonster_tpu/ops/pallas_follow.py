@@ -45,9 +45,9 @@ def make_follow_kernel(chunk: int, n_lanes: int, overlap: int, t_rec: int,
     """fn(blocksT u32 (n_rows*n_pages*LG*128, 128), n) ->
     (recs u32 (t_rec, L), toks u32 (t_rec, L), done_all i32 scalar).
 
-    blocksT row ((f*n_pages + k)*LG+g)*128 + p = in-page position p of
-    page k of decision row f for the 128 lanes of group g
-    (build_lane_windows)."""
+    blocksT row ((g*F + f)*n_pages + k)*128 + p = in-page position p of
+    page k of decision row f for the 128 lanes of group g — one contiguous
+    fd-major window block per group (build_lane_windows)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -68,31 +68,23 @@ def make_follow_kernel(chunk: int, n_lanes: int, overlap: int, t_rec: int,
                              jnp.clip(n_valid - start_abs, -1,
                                       chunk + overlap),
                              0)
-        iota0 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
 
         def lookup(pos_rel, fd):
-            """w (8,128): row g = window word at (fd, pos_rel) for group g."""
-            page = pos_rel >> 7
-            if two_rows:
-                page = page + fd * n_pages
-            inpage = pos_rel & 127
+            """w (8,128): row g = window word at (fd, pos_rel) for group g.
+
+            Group g's window is one contiguous (F*W, 128) block (fd-major);
+            the fetch is a halving row-select (ops/pallas_gather.row_select,
+            ~F*W rows of where-select instead of the round-4 one-hot page
+            scan's ~4x page*128 rows)."""
+            from .pallas_gather import row_select
             rows = []
             for g in range(LG):
-                in_b = jnp.broadcast_to(inpage[g:g + 1, :], (128, 128))
-                pg_b = jnp.broadcast_to(page[g:g + 1, :], (128, 128))
-                acc = jnp.zeros((128, 128), jnp.uint32)
-                for k in range(n_sel_pages):
-                    blk = blocks_ref[pl.ds((k * LG + g) * 128, 128), :]
-                    sel = (pg_b == k) & (iota0 == in_b)
-                    acc = acc | jnp.where(sel, blk, 0)
-                # exactly one element selected per lane: OR-reduce rows
-                n_r = 128
-                cur = acc
-                while n_r > 1:
-                    half = n_r // 2
-                    cur = cur[:half, :] | cur[half:n_r, :]
-                    n_r = half
-                rows.append(cur)                       # (1, 128)
+                G = blocks_ref[pl.ds(g * n_sel_pages * 128,
+                                     n_sel_pages * 128), :]
+                idx = pos_rel[g:g + 1, :]
+                if two_rows:
+                    idx = idx + fd[g:g + 1, :] * W
+                rows.append(row_select(G, idx, n_sel_pages * 128))
             rows += [jnp.zeros((1, 128), jnp.uint32)] * (8 - LG)
             return jnp.concatenate(rows, axis=0)       # (8, 128)
 
@@ -187,7 +179,7 @@ def make_follow_kernel(chunk: int, n_lanes: int, overlap: int, t_rec: int,
 
 def build_lane_windows(ctl_packed, chunk: int, n_lanes: int, overlap: int):
     """Host/XLA side table prep: (n_rows*n_pages*LG*128, 128) u32 where row
-    ((f*n_pages+k)*LG+g)*128 + p holds in-page position p of page k of
+    ((g*F+f)*n_pages+k)*128 + p holds in-page position p of page k of
     decision row f for group g's 128 lanes (lane_id = r*LG + g in lane r).
 
     ctl_packed: (P,) for a single decision row, or (n_rows, P) — the fd
@@ -210,10 +202,12 @@ def build_lane_windows(ctl_packed, chunk: int, n_lanes: int, overlap: int):
         got += parts[-1].shape[2]
         off += chunk
     nat = jnp.concatenate(parts, axis=2)                 # (F, L, W) natural
-    # lane l = r*LG+g  ->  (g, r); pages along W; rows along pages.
+    # lane l = r*LG+g  ->  (g, r); pages along W; per group one contiguous
+    # fd-major block (the follow kernel's halving row-select wants
+    # idx = fd*W + pos_rel linear within the group's block).
     # (i32 bitcast: XLA's u32 transpose lowers ~40% slower than i32)
     by_g = jax.lax.bitcast_convert_type(nat, jnp.int32) \
         .reshape(F, 128, LG, n_pages, 128)               # (f, r, g, k, p)
-    blocksT = by_g.transpose(0, 3, 2, 4, 1)              # (f, k, g, p, r)
+    blocksT = by_g.transpose(2, 0, 3, 4, 1)              # (g, f, k, p, r)
     return jax.lax.bitcast_convert_type(
         blocksT.reshape(F * n_pages * LG * 128, 128), jnp.uint32)

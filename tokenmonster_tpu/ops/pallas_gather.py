@@ -26,6 +26,25 @@ BCAST_ROWS = 4   # tables with <= this many logical rows broadcast each row
                  # group scan when padding dominates)
 
 
+def row_select(G, idx, r_log: int):
+    """out[0, c] = G[idx[0, c], c] — per-lane halving row-select with no
+    lane shuffle (the lane IS the index's lane).  G: (R, 128) with
+    R >= r_log; idx: (1, 128) int32 in [0, r_log)."""
+    cur = G[:r_log] if G.shape[0] != r_log else G
+    n_r = r_log
+    while n_r > 1:
+        k = (n_r + 1) // 2
+        ge = idx >= k
+        geb = jnp.broadcast_to(ge, (k, 128))
+        top = cur[k:n_r]
+        if n_r - k < k:
+            top = jnp.concatenate([top, cur[:2 * k - n_r]], axis=0)
+        cur = jnp.where(geb, top, cur[:k])
+        idx = idx - jnp.where(ge, k, 0)
+        n_r = k
+    return cur
+
+
 def fetch_planes(planes, srow, slane, r_log: int, n_groups: int):
     """vals[i][g, c] = planes[i][srow[g, c], slane[g, c]].
 
