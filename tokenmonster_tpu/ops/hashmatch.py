@@ -377,6 +377,19 @@ class HashMatchTables:
         return sum(c.fields_keybits.nbytes + c.disp.nbytes
                    for c in self.classes)
 
+    def device_nbytes(self) -> int:
+        """VMEM bytes of the composed kernel planes (8-row padding and the
+        u16-packed displacement planes included) — the number the trainer
+        gates its superset pool on."""
+        total = 2 * 2 * 128 * 4   # single tables
+        for c in self.classes:
+            r8 = max(8, -(-c.n_rows // 8) * 8)
+            total += c.n_fields * r8 * 128 * 4
+            packed = -(-max(2, 1 << c.b_bits) // 2)
+            dr8 = max(8, -(-(-(-packed // 128)) // 8) * 8)
+            total += dr8 * 128 * 4
+        return total
+
 
 def build_hashmatch(keys: list[bytes], indices=None,
                     space_prefix: bytes | None = None) -> HashMatchTables:

@@ -634,8 +634,7 @@ class TpuTokenizer:
             # Rounded up to the compact kernel's lane-stream granularity
             # (128 records; whole (8,128) VMEM blocks per lane compiled).
             t_rec = chunk * 3 // 8 + OVERLAP_SCAN + 64
-            grain_rec = 128 if interp else 1024
-            t_rec = -(-t_rec // grain_rec) * grain_rec
+            t_rec = -(-t_rec // 128) * 128   # compact lane-stream grain
             # compact path: one output slot per record (deletes fold into
             # DEL_BIT of the token word, resolved on the host)
             use_compact = True
@@ -698,10 +697,8 @@ class TpuTokenizer:
             use_pallas_follow = (n_lanes % 128 == 0
                                  and 1 <= n_lanes // 128 <= 4)
             if use_pallas_follow:
-                interp = jax.default_backend() == "cpu"
                 t_rec = chunk * 3 // 8 + OVERLAP_SCAN + 64
-                grain_rec = 128 if interp else 1024
-                t_rec = -(-t_rec // grain_rec) * grain_rec
+                t_rec = -(-t_rec // 128) * 128
                 return t_rec * n_lanes
             t_rec = chunk // 2 + OVERLAP_SCAN + 64
             return 2 * t_rec * n_lanes
@@ -765,7 +762,7 @@ class TpuTokenizer:
             bufs.append((jnp.asarray(buf), min(n - off, total), lr))
         return (n, L, bufs)
 
-    MAX_FUSED_DISPATCHES = 8   # chain length folded into ONE jit call (one
+    MAX_FUSED_DISPATCHES = 16  # chain length folded into ONE jit call (one
                                # enqueue round-trip instead of one per
                                # dispatch — ~8 ms each over the tunnel)
 
@@ -892,7 +889,10 @@ class TpuTokenizer:
         """Jitted helpers per dispatch count: one (3k,) scalar-metadata
         fetch (counts|missing|sync — a single tunnel round-trip instead of
         three) and a device-side dense concat of the per-dispatch valid
-        prefixes (one download instead of k padded ones)."""
+        prefixes, RESOLVED to final ids on device and downloaded at the
+        narrowest width that fits (u16 when the id space allows, else
+        24-bit packed u8) — the tunnel download is the e2e bound on this
+        rig (~30 MB/s), so id-stream bytes are throughput."""
         fns = self._finalize.get(k)
         if fns is not None:
             return fns
@@ -903,6 +903,13 @@ class TpuTokenizer:
                 jnp.stack(missings).astype(jnp.int32),
                 jnp.stack([s.astype(jnp.int32) for s in syncs])])
 
+        is_pallas = self.engine == "pallas"
+        n_ids = len(self.vocab.reverse)
+        narrow = n_ids <= 65536
+        ids3f = jnp.asarray(
+            np.asarray(self.dv.ids).reshape(-1).astype(np.uint32))
+        has_delete = self.dv.has_delete
+
         def concat(outs, counts):
             total_cap = sum(o.shape[0] for o in outs)
             cat = jnp.zeros(total_cap, jnp.uint32)
@@ -912,7 +919,36 @@ class TpuTokenizer:
             for i in range(len(outs)):
                 cat = jax.lax.dynamic_update_slice(cat, outs[i], (off,))
                 off = off + counts[i]
-            return cat
+            if is_pallas:
+                # resolve packed idx|w3 words to emitted ids on device
+                # (pallas_decide.resolve_tokens semantics; w3==3 = literal)
+                idx = (cat & ((1 << 20) - 1)).astype(jnp.uint32)
+                w3 = (cat >> 20) & 3
+                res = jnp.take(ids3f, (idx * 3 + jnp.minimum(w3, 2))
+                               .astype(jnp.int32), mode="clip")
+                res = jnp.where(w3 == 3, idx, res)
+            else:
+                res = cat
+            outs_t = []
+            if narrow:
+                outs_t.append(res.astype(jnp.uint16))
+            else:
+                p = jnp.stack([res & 0xFF, (res >> 8) & 0xFF,
+                               (res >> 16) & 0xFF], axis=1)
+                outs_t.append(p.reshape(-1).astype(jnp.uint8))
+            if is_pallas and has_delete:
+                # delete-follows markers as a packed bitmask sideband
+                # (expanded to the delete token id on host)
+                bits = ((cat >> 22) & 1).astype(jnp.uint8)
+                pad = (-total_cap) % 8
+                if pad:
+                    bits = jnp.concatenate(
+                        [bits, jnp.zeros(pad, jnp.uint8)])
+                b8 = bits.reshape(-1, 8)
+                w = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+                outs_t.append((b8 * w[None, :]).sum(axis=1)
+                              .astype(jnp.uint8))
+            return tuple(outs_t)
 
         fns = (jax.jit(meta), jax.jit(concat))
         self._finalize[k] = fns
@@ -935,12 +971,24 @@ class TpuTokenizer:
         total = int(counts.sum())
         if total <= 0:
             return np.zeros(0, np.uint32), missing
-        cat = concat_fn([o[0] for o in outs], jnp.asarray(counts))
-        b = min(-(-total // 65536) * 65536, cat.shape[0])
-        ids = np.asarray(cat[:b])[:total]
-        if self.engine == "pallas" and len(ids):
-            from .pallas_decide import resolve_tokens
-            ids = resolve_tokens(self.vocab, ids)
+        parts = concat_fn([o[0] for o in outs], jnp.asarray(counts))
+        id_part = parts[0]
+        narrow = len(self.vocab.reverse) <= 65536
+        if narrow:
+            b = min(-(-total // 65536) * 65536, id_part.shape[0])
+            ids = np.asarray(id_part[:b])[:total].astype(np.uint32)
+        else:
+            b = min(-(-total // 65536) * 65536, id_part.shape[0] // 3)
+            packed = np.asarray(id_part[:b * 3]).reshape(-1, 3) \
+                .astype(np.uint32)
+            ids = (packed[:, 0] | (packed[:, 1] << 8)
+                   | (packed[:, 2] << 16))[:total]
+        if self.engine == "pallas" and self.dv.has_delete and total:
+            bm = np.asarray(parts[1][:-(-total // 8)])
+            bits = np.unpackbits(bm, bitorder="little")[:total]
+            if bits.any():
+                ids = np.insert(ids, np.nonzero(bits)[0] + 1,
+                                np.uint32(self.dv.delete_token & 0xFFFFFF))
         return ids, missing
 
     def tokenize(self, data: bytes):

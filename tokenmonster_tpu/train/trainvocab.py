@@ -144,15 +144,26 @@ class CandidateScorer:
             from ..ops.pallas_match import make_match_kernel
             v_sup = self.build(list(superset_tokens))
             n_sup = len(v_sup.tokens)
-            # VMEM budget: superset tables must fit next to the text/window
-            # buffers (~16 MB/core on v5e)
-            if not (16 <= n_sup <= 150_000):
+            if n_sup < 16:
                 return False
             has_delete = v_sup.delete_token != 0xFFFFFF
             space_prefix = None
             if has_delete:
                 space_prefix = b" \x00" if v_sup.charset == 2 else b" "
             tabs = build_hashmatch(v_sup.tokens, space_prefix=space_prefix)
+            # VMEM budget: the composed hash planes must fit the match
+            # kernel next to its text buffer, and the decide kernel's meta
+            # planes next to the match tables (~16 MB/core on v5e; the
+            # round-5 grid-blocked outputs freed the output buffers).
+            # Overridable for bigger-VMEM parts.
+            cap = int(os.environ.get("TM_TRAINER_TABLE_CAP_MB", "10")) << 20
+            meta_bytes = 2 * max(8, -(-n_sup // 128 // 8) * 8) * 128 * 4
+            if tabs.device_nbytes() > cap or meta_bytes > (8 << 20):
+                log.info("pallas trainer fast path: pool too big for VMEM "
+                         "(%d tokens, tables %.1f MB, meta %.1f MB)",
+                         n_sup, tabs.device_nbytes() / 2**20,
+                         meta_bytes / 2**20)
+                return False
             interp = jax.default_backend() == "cpu"
             self._pal = {
                 "v_sup": v_sup,
