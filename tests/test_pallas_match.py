@@ -105,3 +105,22 @@ def test_full_hash_collision_overflow():
         hi, hl = host_longest_match(tabs, data, p)
         hwant = 0 if hl == 0 else (hi << 6) | hl
         assert m[p] == hwant, p
+
+
+def test_kernel_partitioned_parity(capcode_vocab):  # noqa: F811
+    """A tiny VMEM cap forces multi-part probing (the big-pool trainer
+    path): disjoint length-class parts merged by match length must equal
+    the single-part kernel exactly."""
+    tables = build_hashmatch(capcode_vocab.tokens, space_prefix=b" ")
+    fn1 = make_match_kernel(tables, interpret=True)
+    fnp = make_match_kernel(tables, interpret=True, vmem_cap_bytes=1)
+    data = bytes(ENGLISH * 3)
+    n = len(data)
+    total = -(-(n + 192) // 2048) * 2048
+    pad = np.zeros(total, np.uint8)
+    pad[:n] = np.frombuffer(data, np.uint8)
+    import jax.numpy as jnp
+    a_m, a_mb = fn1(jnp.asarray(pad), n)
+    b_m, b_mb = fnp(jnp.asarray(pad), n)
+    np.testing.assert_array_equal(np.asarray(a_m), np.asarray(b_m))
+    np.testing.assert_array_equal(np.asarray(a_mb), np.asarray(b_mb))

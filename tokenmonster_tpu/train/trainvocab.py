@@ -151,14 +151,14 @@ class CandidateScorer:
             if has_delete:
                 space_prefix = b" \x00" if v_sup.charset == 2 else b" "
             tabs = build_hashmatch(v_sup.tokens, space_prefix=space_prefix)
-            # VMEM budget: the composed hash planes must fit the match
-            # kernel next to its text buffer, and the decide kernel's meta
-            # planes next to the match tables (~16 MB/core on v5e; the
-            # round-5 grid-blocked outputs freed the output buffers).
-            # Overridable for bigger-VMEM parts.
-            cap = int(os.environ.get("TM_TRAINER_TABLE_CAP_MB", "10")) << 20
+            # VMEM budget: oversized hash planes PARTITION across multiple
+            # match pallas_calls (pallas_match VMEM_TABLE_CAP), so match
+            # tables no longer gate the pool; the decide kernel's meta
+            # planes must still fit one call next to the match tables
+            # (~16 MB/core on v5e) — that caps the superset near 1M tokens.
+            cap = int(os.environ.get("TM_TRAINER_META_CAP_MB", "8")) << 20
             meta_bytes = 2 * max(8, -(-n_sup // 128 // 8) * 8) * 128 * 4
-            if tabs.device_nbytes() > cap or meta_bytes > (8 << 20):
+            if meta_bytes > cap:
                 log.info("pallas trainer fast path: pool too big for VMEM "
                          "(%d tokens, tables %.1f MB, meta %.1f MB)",
                          n_sup, tabs.device_nbytes() / 2**20,
