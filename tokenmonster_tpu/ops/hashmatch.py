@@ -115,8 +115,11 @@ def scale_to(x: int, terms, S: int) -> int:
 
 
 def g_of(h: int, salt: int, terms, S: int) -> int:
-    """The slot hash g in [0, S): C2-mixed then NAF-scaled (the C2 multiply
-    diffuses the salt so reshuffles actually move g)."""
+    """The slot hash g in [0, S): C2-mixed then NAF-scaled.  The multiply
+    is REQUIRED here: any GF(2)-linear mix (xorshift) makes within-bucket
+    g differences salt-invariant, so colliding pairs stay colliding at
+    every salt retry and placement fails (measured on the gpt2 l=4
+    class)."""
     x = ((int(h) ^ salt) * int(C2)) & 0xFFFFFFFF
     return scale_to(x, terms, S)
 
@@ -281,7 +284,11 @@ def build_class_table(length: int, entries: list, load: float = 0.97,
             seen[h] = True
             keep.append((k, mi, si))
     K = len(keep)
-    S = max(128, -(-int(np.ceil(K / load)) // 128) * 128)
+    S0 = max(128, -(-int(np.ceil(K / load)) // 128) * 128)
+    # among slot counts within ~5% above the load target, prefer the one
+    # whose NAF scaling chain is shortest (each term is a kernel shift-add)
+    cands = [S0 + 128 * i for i in range(4)]
+    S = min(cands, key=lambda s: (len(scale_terms(s)), s))
     h_all = [int(poly_hash(k)) for k, _m, _s in keep]
 
     for attempt in range(60):

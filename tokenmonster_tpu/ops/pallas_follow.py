@@ -2,12 +2,15 @@
 
 Replaces ops/decision.py::follow_lanes for the Pallas engine.  The XLA
 while_loop pays ~17 us/iteration in per-step overhead and HBM gathers
-(~12 ms/MB); here every lane's span of the packed decision table sits in
-VMEM and one step is a masked page select-sum across all lanes.
+(~12 ms/MB); here every lane's window of the packed decision table sits in
+VMEM as one contiguous per-group block, and one step is a HALVING
+ROW-SELECT by the lane's position (ops/pallas_gather.row_select — ~W rows
+of where-select per step instead of the round-4 one-hot page scan's ~4x
+pages*128 rows).
 
 Forward-delete vocabularies carry BOTH decision rows (fd = 0 and fd = 1):
-the window blocks hold the two rows' pages back to back and each step
-selects the page by the lane's carried fd state — the exact chain of
+the per-group block holds the two rows back to back (fd-major) and each
+step's select index is fd*W + pos_rel — the exact chain of
 ops/decision.py::follow_lanes (go/tokenmonster.go:1048-1277 restructured).
 
 Hard-won layout rules (this Mosaic version):
@@ -15,8 +18,7 @@ Hard-won layout rules (this Mosaic version):
     TPU worker — all state lives in (8, 128) arrays: row g = lane group g,
     lane r = lane_id r*LG+g (rows LG..7 start done)
   - the window blocks are HOST-TRANSPOSED to (pos, lane) orientation so the
-    in-page position select runs along sublanes with a broadcast one-hot —
-    no in-kernel transposes, no take_along, no narrow ops
+    row-select runs along sublanes — no in-kernel transposes, no narrow ops
   - output stores pair two steps into one (8, 128) block so the sublane
     offset stays 8-aligned
 

@@ -293,10 +293,14 @@ def make_match_kernel(tables: HashMatchTables, interpret: bool = False,
                     bucket = (c1h >> U32(32 - c.b_bits)).astype(jnp.int32)
                 else:
                     bucket = jnp.zeros((R_TOT, 128), jnp.int32)
-                x2 = _mul_terms((h ^ U32(c.salt)).astype(U32), _C2_TERMS)
+                # g: C2 NAF chain then scale (hashmatch.g_of exactly; a
+                # mult-free xorshift mix was tried and broke CHD placement
+                # — GF(2)-linear mixes make in-bucket collisions
+                # salt-invariant)
+                y = _mul_terms((h ^ U32(c.salt)).astype(U32), _C2_TERMS)
                 g = None
                 for k, sign in c.scale:
-                    term = (x2 >> U32(32 - k)).astype(jnp.int32)
+                    term = (y >> U32(32 - k)).astype(jnp.int32)
                     if g is None:
                         g = term if sign > 0 else -term
                     elif sign > 0:
