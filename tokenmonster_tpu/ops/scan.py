@@ -624,6 +624,12 @@ class TpuTokenizer:
         out_cap = 2 * t_rec * n_lanes
 
         use_pallas_follow = n_lanes % 128 == 0 and 1 <= n_lanes // 128 <= 4
+        if not use_pallas_follow:
+            import logging
+            logging.getLogger(__name__).info(
+                "pallas follow needs 128..512 lanes in multiples of 128 "
+                "(got %d): using the XLA while_loop follow for this "
+                "geometry", n_lanes)
         use_compact = False
         if use_pallas_follow:
             from .pallas_follow import build_lane_windows, make_follow_kernel

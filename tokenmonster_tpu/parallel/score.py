@@ -13,6 +13,7 @@ vector and token counts are reduced with jax.lax.psum over ICI.
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +22,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.match import match_strips
 from ..ops.scan import _REC_DEL, _REC_MISS, _REC_TOK, scan_lanes
+
+log = logging.getLogger(__name__)
 
 
 def _shard_score(text_shard, dfa, dout, sdfa, sout, bb_byte,
@@ -281,10 +284,12 @@ def make_pallas_score_step(mesh: Mesh, chunk: int, lanes: int,
     use_pf = lanes % 128 == 0 and 1 <= lanes // 128 <= 4
     t_rec = chunk * 3 // 8 + OVERLAP_SCAN + 64
     if use_pf:
-        gr = 128 if interp else 1024
-        t_rec = -(-t_rec // gr) * gr
+        t_rec = -(-t_rec // 128) * 128
         follow_fn = make_follow_kernel(chunk, lanes, OVERLAP_SCAN, t_rec,
                                        two_rows=has_delete, interpret=interp)
+    else:
+        log.info("pallas follow needs 128..512 lanes in multiples of 128 "
+                 "(got %d): scoring uses the XLA while_loop follow", lanes)
 
     def one_strip(text, n, se, del_tok, tabs, planes, bb, ids3f):
         scores = jnp.zeros(n_ids_cap, jnp.int32)
