@@ -257,17 +257,23 @@ def _tpu_child():
                 real = f.read(CORPUS_MB * MB)
             real = vocab.normalizer.normalize(real)
             staged_r = tk.stage(real)
+            # real text can be denser than 2.7 bytes/record (long
+            # space/punct runs): AOT the full-window retry variant too
+            out["aot_hit_full"] = bool(
+                tk.warm_aot(staged_r, aot_dir, modes=(True,)))
             res_r = tk.tokenize_staged(staged_r)
             if res_r is not None:
                 out["tpu_realtext_ids_fnv"] = str(fnv1a64(res_r[0]))
                 out["realtext_n_tokens"] = int(len(res_r[0]))
                 out["realtext_bytes"] = len(real)
-                outs_r = tk._run_staged(staged_r)
+                out["realtext_window"] = tk.last_mode
+                use_full = tk.last_mode == "full"
+                outs_r = tk._run_staged(staged_r, full=use_full)
                 _ = [int(o[1]) for o in outs_r]
                 reps = 6
                 t0 = time.time()
                 for _ in range(reps):
-                    outs_r = tk._run_staged(staged_r)
+                    outs_r = tk._run_staged(staged_r, full=use_full)
                 _ = [int(o[1]) for o in outs_r]
                 dt = (time.time() - t0) / reps
                 out["tpu_device_bps_realtext"] = round(len(real) / dt)

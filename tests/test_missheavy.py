@@ -55,15 +55,18 @@ def test_missheavy_device_parity(unk):
                                   np.asarray(want_ids))
 
 
-def test_missheavy_fallback_rate_known():
-    """Without unk the fast compact path must refuse (sync_ok False) and
-    the public API still return exact ids — the cliff is the host
-    stitcher, not wrong output."""
+def test_missheavy_fast_window_overflow_retries_full():
+    """Dense/miss-heavy data (~1 byte per record) overflows the fast
+    record window; tokenize_staged must retry on the full-window variant
+    and still produce exact ids on device (this geometry routes the
+    XLA stitch, which handles non-emitting records)."""
     from tokenmonster_tpu.ops.scan import TpuTokenizer
     v = _vocab(False)
     data = _binary_corpus()
     tk = TpuTokenizer(v, chunk=2048)
     res = tk.tokenize_staged(tk.stage(data))
-    # miss-without-unk dispatches are expected to reject the fast path
-    assert res is None, \
-        "fast path accepted records that emit nothing (precondition bug)"
+    assert res is not None and tk.last_mode == "full"
+    want_ids, want_missing = host_tokenize(v, data)
+    assert res[1] == want_missing
+    np.testing.assert_array_equal(np.asarray(res[0]),
+                                  np.asarray(want_ids))

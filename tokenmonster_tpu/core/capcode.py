@@ -58,7 +58,18 @@ def _is_modifier_c(c: str) -> bool:
 
 
 def encode(data: bytes) -> bytes:
-    """Capcode level-2 encode. Port of javascript/tokenmonster.js:900-1005."""
+    """Capcode level-2 encode. Port of javascript/tokenmonster.js:900-1005.
+
+    Routes through the native encoder (tm_capcode_encode — byte-exact vs
+    this Python port, tests/test_capcode_native.py) when available: the
+    Python loop costs ~5 us/byte and dominated getalltokens' profile."""
+    try:
+        from .. import native
+        out = native.native_capcode_encode(data)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     text = data.decode("utf-8", errors="surrogateescape")
     buf: list[str] = []
     goback_pos = 0
@@ -156,6 +167,13 @@ def no_capcode_encode(data: bytes) -> bytes:
 
     Mirrors the non-case rules of :func:`encode` with 0x7F as delete token.
     """
+    try:
+        from .. import native
+        out_n = native.native_nocapcode_encode(data)
+        if out_n is not None:
+            return out_n
+    except Exception:
+        pass
     text = data.decode("utf-8", errors="surrogateescape")
     out: list[str] = []
     rlast = "."

@@ -498,6 +498,8 @@ class TpuTokenizer:
         self._bb_byte = jnp.asarray(vocab.begin_byte.astype(np.int32))
         self._fused = {}
         self._fused_stitch = {}
+        self.last_mode = None   # "fast"/"full": variant of the last
+                                # successful tokenize_staged
         self._finalize = {}
         self._chains = {}
         # Pallas engine (ops/pallas_match + ops/pallas_decide): the fast
@@ -562,17 +564,20 @@ class TpuTokenizer:
         self._fused[n_lanes] = fn
         return fn
 
-    def _fused_stitch_fn(self, n_lanes: int):
+    def _fused_stitch_fn(self, n_lanes: int, full: bool = False):
         """Fused pipeline + on-device stitch/compaction (ops/stitch.py).
 
         Returns a jitted fn(text, n, start0, last_lane, *tables) ->
-        (out_ids, count, missing, start_next, sync_ok)."""
-        fn = self._fused_stitch.get(n_lanes)
+        (out_ids, count, missing, start_next, sync_ok).  ``full`` sizes the
+        record window for the 1-byte-per-record worst case (the retry
+        variant for dense text — e.g. long space/punctuation runs at
+        < 2.7 bytes/token that overflow the fast window)."""
+        fn = self._fused_stitch.get((n_lanes, full))
         if fn is not None:
             return fn
         if self.engine == "pallas":
-            fn = self._pallas_stitch_fn(n_lanes)
-            self._fused_stitch[n_lanes] = fn
+            fn = self._pallas_stitch_fn(n_lanes, full=full)
+            self._fused_stitch[(n_lanes, full)] = fn
             return fn
         from .stitch import device_stitch
         inner = self._fused_fn(n_lanes)
@@ -580,9 +585,10 @@ class TpuTokenizer:
         dv = self.dv
         # stitch over a reduced record window: typical text emits ~1 record
         # per 3.5-4.3 bytes, so chunk//2 + overlap rows cover it with margin;
-        # denser streams (t_final past the bound) fail sync_ok and take the
-        # exact host-stitch fallback
-        t_rec = chunk // 2 + OVERLAP_SCAN + 64
+        # denser streams (t_final past the bound) fail sync_ok and retry on
+        # the full-window variant, then the exact host-stitch fallback
+        t_rec = (chunk + OVERLAP_SCAN + 64 if full
+                 else chunk // 2 + OVERLAP_SCAN + 64)
         out_cap = 2 * t_rec * n_lanes
 
         def run(text, n, start0, last_lane, final, dfa, dout, sdfa, sout,
@@ -596,10 +602,10 @@ class TpuTokenizer:
             return out, count, missing, start_next, sync_ok & (t_final <= t_rec)
 
         fn = jax.jit(run)
-        self._fused_stitch[n_lanes] = fn
+        self._fused_stitch[(n_lanes, full)] = fn
         return fn
 
-    def _pallas_stitch_fn(self, n_lanes: int):
+    def _pallas_stitch_fn(self, n_lanes: int, full: bool = False):
         """Pallas-engine pipeline: match kernel -> decision kernel -> packed
         follow -> bounded device stitch.  Same call contract as
         _fused_stitch_fn's `run` but ignores the table args (kernels close
@@ -620,7 +626,8 @@ class TpuTokenizer:
         from .pallas_match import TILE_ROWS
         grain = 128 * TILE_ROWS
         p2 = -(-(total + 64) // grain) * grain
-        t_rec = chunk // 2 + OVERLAP_SCAN + 64
+        t_rec = (chunk + OVERLAP_SCAN + 64 if full
+                 else chunk // 2 + OVERLAP_SCAN + 64)
         out_cap = 2 * t_rec * n_lanes
 
         use_pallas_follow = n_lanes % 128 == 0 and 1 <= n_lanes // 128 <= 4
@@ -639,7 +646,8 @@ class TpuTokenizer:
             # ~1 record per 4 bytes; overflow fails done_all -> host stitch.
             # Rounded up to the compact kernel's lane-stream granularity
             # (128 records; whole (8,128) VMEM blocks per lane compiled).
-            t_rec = chunk * 3 // 8 + OVERLAP_SCAN + 64
+            t_rec = (chunk + OVERLAP_SCAN if full
+                     else chunk * 3 // 8 + OVERLAP_SCAN + 64)
             t_rec = -(-t_rec // 128) * 128   # compact lane-stream grain
             # compact path: one output slot per record (deletes fold into
             # DEL_BIT of the token word, resolved on the host)
@@ -695,7 +703,7 @@ class TpuTokenizer:
 
         return jax.jit(run)
 
-    def _out_cap(self, n_lanes: int) -> int:
+    def _out_cap(self, n_lanes: int, full: bool = False) -> int:
         """Output id-buffer capacity of the stitch fn for this geometry
         (must mirror _fused_stitch_fn/_pallas_stitch_fn's t_rec math)."""
         chunk = self.chunk
@@ -703,12 +711,12 @@ class TpuTokenizer:
             use_pallas_follow = (n_lanes % 128 == 0
                                  and 1 <= n_lanes // 128 <= 4)
             if use_pallas_follow:
-                t_rec = chunk * 3 // 8 + OVERLAP_SCAN + 64
+                t_rec = (chunk + OVERLAP_SCAN if full
+                         else chunk * 3 // 8 + OVERLAP_SCAN + 64)
                 t_rec = -(-t_rec // 128) * 128
                 return t_rec * n_lanes
-            t_rec = chunk // 2 + OVERLAP_SCAN + 64
-            return 2 * t_rec * n_lanes
-        t_rec = chunk // 2 + OVERLAP_SCAN + 64
+        t_rec = (chunk + OVERLAP_SCAN + 64 if full
+                 else chunk // 2 + OVERLAP_SCAN + 64)
         return 2 * t_rec * n_lanes
 
     def _dispatch(self, sl: np.ndarray, exact: int):
@@ -781,7 +789,8 @@ class TpuTokenizer:
                         self.engine == "pallas", self.chunk % 251]))
         return h.hexdigest()[:16]
 
-    def warm_aot(self, staged, cache_dir: str) -> bool:
+    def warm_aot(self, staged, cache_dir: str,
+                 modes=(False,)) -> bool:
         """AOT-compile (or load from ``cache_dir``) every executable the
         staged geometry needs — the fused dispatch chain and the
         metadata/concat epilogues — so the first tokenize_staged call does
@@ -807,50 +816,56 @@ class TpuTokenizer:
         tab_avals = tuple(sds(t.shape, t.dtype) for t in tables)
         buf_aval = sds(bufs[0][0].shape, bufs[0][0].dtype)
         ok = True
-        fn = self._fused_stitch_fn(L)
-        if 1 < k <= self.MAX_FUSED_DISPATCHES:
-            chain = self._chain_fn(L, k, fn)
-            avals = ([buf_aval] * k, sds((k,), jnp.int32),
-                     sds((k,), jnp.int32)) + tab_avals
-            comp = cached_compile(base + "-chain", chain, avals, cache_dir)
-            if comp is not None:
-                self._chains[(L, k)] = comp
-            ok = ok and comp is not None
-        else:
-            avals = (buf_aval, sds((), jnp.int32), sds((), jnp.int32),
-                     sds((), jnp.int32), sds((), jnp.bool_)) + tab_avals
-            comp = cached_compile(base + "-single", fn, avals, cache_dir)
-            if comp is not None:
-                self._fused_stitch[L] = comp
-            ok = ok and comp is not None
-        # epilogues: one (3k,) metadata fetch + device-side dense concat
-        meta_fn, concat_fn = self._meta_concat_fns(k)
-        out_cap = self._out_cap(L)
         sc = sds((), jnp.int32)
         sb = sds((), jnp.bool_)
-        m = cached_compile(base + "-meta", meta_fn,
-                           ([sc] * k, [sc] * k, [sb] * k), cache_dir)
-        c = cached_compile(base + "-concat", concat_fn,
-                           ([sds((out_cap,), jnp.uint32)] * k,
-                            sds((k,), jnp.int32)), cache_dir)
-        if m is not None and c is not None:
-            self._finalize[k] = (m, c)
-        return ok and m is not None and c is not None
+        for full in modes:
+            suffix = "-full" if full else ""
+            fn = self._fused_stitch_fn(L, full)
+            if 1 < k <= self.MAX_FUSED_DISPATCHES:
+                chain = self._chain_fn(L, k, fn, full)
+                avals = ([buf_aval] * k, sds((k,), jnp.int32),
+                         sds((k,), jnp.int32)) + tab_avals
+                comp = cached_compile(base + suffix + "-chain", chain,
+                                      avals, cache_dir)
+                if comp is not None:
+                    self._chains[(L, k, full)] = comp
+                ok = ok and comp is not None
+            else:
+                avals = (buf_aval, sds((), jnp.int32), sds((), jnp.int32),
+                         sds((), jnp.int32), sds((), jnp.bool_)) + tab_avals
+                comp = cached_compile(base + suffix + "-single", fn, avals,
+                                      cache_dir)
+                if comp is not None:
+                    self._fused_stitch[(L, full)] = comp
+                ok = ok and comp is not None
+            # epilogues: (3k,) metadata fetch + device-side dense concat
+            out_cap = self._out_cap(L, full)
+            meta_fn, concat_fn = self._meta_concat_fns(k, out_cap)
+            m = cached_compile(base + "-meta", meta_fn,
+                               ([sc] * k, [sc] * k, [sb] * k), cache_dir)
+            c = cached_compile(base + suffix + "-concat", concat_fn,
+                               ([sds((out_cap,), jnp.uint32)] * k,
+                                sds((k,), jnp.int32)), cache_dir)
+            if m is not None and c is not None:
+                self._finalize[(k, out_cap)] = (m, c)
+            ok = ok and m is not None and c is not None
+        return ok
 
-    def _run_staged(self, staged):
+    def _run_staged(self, staged, full: bool = False):
         """Enqueue the full chained pipeline; returns per-dispatch device
         outputs (no host sync).  Short chains run as a single fused jit
-        call; longer texts fall back to per-dispatch enqueue."""
+        call; longer texts fall back to per-dispatch enqueue.  ``full``
+        selects the worst-case record-window variant (dense-text retry)."""
         n, L, bufs = staged
         dv = self.dv
-        fn = self._fused_stitch_fn(L)
+        fn = self._fused_stitch_fn(L, full)
         sdfa = dv.space_dfa if dv.space_dfa is not None else dv.main_dfa
         sout = dv.space_out if dv.space_out is not None else dv.main_out
         tables = (dv.main_dfa, dv.main_out, sdfa, sout, self._bb_byte,
                   dv.p1, dv.index1, dv.index2, dv.ids, dv.meta5)
         k = len(bufs)
         if 1 < k <= self.MAX_FUSED_DISPATCHES:
-            runk = self._chain_fn(L, k, fn)
+            runk = self._chain_fn(L, k, fn, full)
             flat = runk([b for b, _n, _l in bufs],
                         jnp.asarray([n_slice for _b, n_slice, _l in bufs],
                                     jnp.int32),
@@ -868,10 +883,10 @@ class TpuTokenizer:
             start0 = start_next
         return outs
 
-    def _chain_fn(self, n_lanes: int, k: int, inner):
+    def _chain_fn(self, n_lanes: int, k: int, inner, full: bool = False):
         """Jitted k-dispatch chain: the bridge skip flows as a traced
         scalar, one device call for the whole text."""
-        key = (n_lanes, k)
+        key = (n_lanes, k, full)
         fn = self._chains.get(key)
         if fn is not None:
             return fn
@@ -891,7 +906,7 @@ class TpuTokenizer:
         self._chains[key] = fn
         return fn
 
-    def _meta_concat_fns(self, k: int):
+    def _meta_concat_fns(self, k: int, out_cap: int = 0):
         """Jitted helpers per dispatch count: one (3k,) scalar-metadata
         fetch (counts|missing|sync — a single tunnel round-trip instead of
         three) and a device-side dense concat of the per-dispatch valid
@@ -899,7 +914,7 @@ class TpuTokenizer:
         narrowest width that fits (u16 when the id space allows, else
         24-bit packed u8) — the tunnel download is the e2e bound on this
         rig (~30 MB/s), so id-stream bytes are throughput."""
-        fns = self._finalize.get(k)
+        fns = self._finalize.get((k, out_cap))
         if fns is not None:
             return fns
 
@@ -957,22 +972,28 @@ class TpuTokenizer:
             return tuple(outs_t)
 
         fns = (jax.jit(meta), jax.jit(concat))
-        self._finalize[k] = fns
+        self._finalize[(k, out_cap)] = fns
         return fns
 
-    def tokenize_staged(self, staged):
+    def tokenize_staged(self, staged, full: bool = False):
         """Run the device pipeline on staged buffers and download the dense
-        id stream.  Returns (ids, missing) or None if any junction failed to
-        sync (caller falls back to the host stitcher)."""
-        outs = self._run_staged(staged)
+        id stream.  Returns (ids, missing) or None if no device variant
+        synced (caller falls back to the host stitcher).  A fast-window
+        overflow (dense text) retries once on the full-window variant;
+        ``self.last_mode`` records which variant produced the result."""
+        outs = self._run_staged(staged, full)
         k = len(outs)
-        meta_fn, concat_fn = self._meta_concat_fns(k)
+        meta_fn, concat_fn = self._meta_concat_fns(
+            k, int(outs[0][0].shape[0]))
         meta = np.asarray(meta_fn([o[1] for o in outs],
                                   [o[2] for o in outs],
                                   [o[3] for o in outs]))
         counts, missings, syncs = meta[:k], meta[k:2 * k], meta[2 * k:]
         if not syncs.all():
+            if not full:
+                return self.tokenize_staged(staged, full=True)
             return None
+        self.last_mode = "full" if full else "fast"
         missing = int(missings.sum())
         total = int(counts.sum())
         if total <= 0:
