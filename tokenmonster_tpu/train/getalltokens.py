@@ -15,6 +15,7 @@ results (filters are pure functions of the substring bytes).
 from __future__ import annotations
 
 import logging
+import os
 
 import numpy as np
 
@@ -63,15 +64,32 @@ class SortedWindows:
         if self.n == 0:
             return
         order = first_diff = None
-        try:
-            from .. import native
-            built = native.native_sorted_windows(data, n, width)
-            if built is not None:
-                order, first_diff = built
-                self.order_u32 = order
-                self.first_diff_u8 = first_diff
-        except Exception:
-            pass
+        if os.environ.get("TM_GAT_DEVICE") == "1":
+            # device-assisted suffix sort (ops/device_sort, SURVEY §8.6):
+            # opt-in because getalltokens often runs beside another TPU
+            # client.  Tie order may differ from the host sort; run
+            # structure (hence counts and .tok bytes) is identical.
+            try:
+                from ..ops.device_sort import device_sorted_windows
+                built = device_sorted_windows(data, n, width)
+                if built is not None:
+                    order, first_diff = built
+                    self.order_u32 = order
+                    self.first_diff_u8 = first_diff
+            except Exception:
+                logging.getLogger(__name__).warning(
+                    "device suffix sort failed; using host paths",
+                    exc_info=True)
+        if order is None:
+            try:
+                from .. import native
+                built = native.native_sorted_windows(data, n, width)
+                if built is not None:
+                    order, first_diff = built
+                    self.order_u32 = order
+                    self.first_diff_u8 = first_diff
+            except Exception:
+                pass
         if order is None:
             # numpy fallback: lexsort positions by big-endian packed u64
             # words of the window — numeric radix sorts beat comparison-
