@@ -803,6 +803,10 @@ class TpuTokenizer:
 
         from ..utils.aotcache import (cached_compile, code_fingerprint,
                                       device_fingerprint)
+        if jax.local_device_count() != 1:
+            # serialized executables bind to the compile-time device set;
+            # the cache targets the single-chip serving/bench path
+            return False
         n, L, bufs = staged
         k = len(bufs)
         dv = self.dv
