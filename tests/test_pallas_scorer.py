@@ -63,3 +63,30 @@ def test_pallas_scorer_matches_native(pool_vocab, strips):
         assert m_t == m_n, drops
     # every score() above must have taken the pallas path with one compile
     assert sc.tpu_compiles == 1
+
+
+def test_pallas_scorer_remap_mode_matches_native(pool_vocab, strips,
+                                                 monkeypatch):
+    """Big-superset REMAP mode (matched indices -> candidate-local ranks
+    on device, candidate-sized decide planes) must score bit-identically
+    too; forced here by shrinking the meta cap to zero."""
+    from tokenmonster_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("no C++ toolchain")
+    monkeypatch.setenv("TM_TRAINER_META_CAP_MB", "0")
+    sc = CandidateScorer(1, 2, pool_vocab.normalizer.flag, backend="tpu")
+    sc.set_specials([])
+    assert sc.prepare_pallas(POOL + SINGLES)
+    assert sc._pal["remap"] is True
+
+    nsc = CandidateScorer(1, 2, pool_vocab.normalizer.flag,
+                          backend="native")
+    nsc.set_specials([])
+    for drops in ([], [b" quick", b"the", b" hello", b" of", b"  "]):
+        cand_tokens = [t for t in POOL if t not in drops] + SINGLES
+        cand = sc.build(cand_tokens)
+        s_t, t_t, m_t = sc.score(cand, strips)
+        s_n, t_n, m_n = nsc.score(cand, strips)
+        np.testing.assert_array_equal(np.asarray(s_t), np.asarray(s_n))
+        assert t_t == t_n, drops
+        assert m_t == m_n, drops

@@ -80,13 +80,19 @@ def build_meta_planes(vocab):
     return planes, bb.reshape(2, 128)
 
 
-def make_decide_kernel(vocab, interpret: bool = False):
+def make_decide_kernel(vocab, interpret: bool = False,
+                       meta_rows: int | None = None):
     """Delete-free vocab: fn(m_tab u32[N], text u8[N], n) -> (ctl u32[N],
     tok u32[N]).  Delete-token vocab: fn(m_tab, mb_tab, text, n) ->
     (ctl u32[2, N], tok u32[2, N]) — row fd.
 
     N a multiple of 128*TILE_ROWS; m_tab/mb_tab/text padded with >= 2*128
-    zero entries past real data (appended margin rows are added here)."""
+    zero entries past real data (appended margin rows are added here).
+
+    ``meta_rows`` overrides the meta-plane row count: the trainer's
+    big-superset mode remaps match indices to candidate-local ranks on
+    device and passes CANDIDATE-sized planes at runtime (the halving meta
+    fetch register-spills past a few thousand rows)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -99,8 +105,11 @@ def make_decide_kernel(vocab, interpret: bool = False):
     lil_off = 2 if vocab.charset == 2 else 1
     TILE = TILE_ROWS_FD if has_delete else TILE_ROWS
     R2 = TILE + EXTRA_ROWS
-    PR = planes_np.shape[1]
-    R_LOG = max(1, -(-len(vocab.tokens) // 128))  # logical meta rows
+    PR = meta_rows if meta_rows is not None else planes_np.shape[1]
+    if meta_rows is not None:
+        R_LOG = meta_rows
+    else:
+        R_LOG = max(1, -(-len(vocab.tokens) // 128))  # logical meta rows
 
     def kernel(n_ref, *refs):
         if has_delete:

@@ -257,7 +257,7 @@ def make_pallas_score_step(mesh: Mesh, chunk: int, lanes: int,
                            dispatches: int, n_ids_cap: int,
                            has_delete: bool,
                            match_fn, decide_fn, axis="data",
-                           batch: int = 1):
+                           batch: int = 1, remap: bool = False):
     """Exact scorer on the PALLAS engine (VERDICT r3 #4): the trainer's
     fast path.  Kernels are built ONCE on the SUPERSET vocabulary
     (superset CHD placement); per-candidate state arrives as runtime
@@ -265,11 +265,20 @@ def make_pallas_score_step(mesh: Mesh, chunk: int, lanes: int,
     a whole training run compiles each geometry exactly once.
 
     step(text (n_dev, B) u8, n (n_dev,) i32, se i32, del_tok i32,
-         tabs..., planes, bb, ids3f) ->
+         tabs..., planes, bb, ids3f[, rank]) ->
       (scores i32[n_ids_cap], n_tokens, miss_mask i32[256], sync_ok),
     all psum-reduced over ``axis``.  Same contract and strip semantics as
     make_exact_score_step (whole strips per device, chunk-parallel +
     device-stitched within a strip, byte-exact vs the native scorer).
+
+    ``remap``: big-superset mode — the match tables stay superset-sized
+    (masked + partitioned across pallas_calls), but matched indices are
+    REMAPPED on device to candidate-local ranks (``rank``: alive-rank per
+    superset index) before the decide kernel, whose meta planes are then
+    CANDIDATE-sized.  The decide kernel's halving meta fetch register-
+    spills past a few thousand plane rows (measured 166 MB scoped at a
+    1.2M-token superset), so this is what makes multi-million-token pools
+    runnable on the fast path.
     """
     from ..ops.decision import follow_lanes
     from ..ops.pallas_follow import build_lane_windows, make_follow_kernel
@@ -291,7 +300,7 @@ def make_pallas_score_step(mesh: Mesh, chunk: int, lanes: int,
         log.info("pallas follow needs 128..512 lanes in multiples of 128 "
                  "(got %d): scoring uses the XLA while_loop follow", lanes)
 
-    def one_strip(text, n, se, del_tok, tabs, planes, bb, ids3f):
+    def one_strip(text, n, se, del_tok, tabs, planes, bb, ids3f, rank):
         scores = jnp.zeros(n_ids_cap, jnp.int32)
         n_tok = jnp.int32(0)
         miss_mask = jnp.zeros(256, jnp.int32)
@@ -306,14 +315,24 @@ def make_pallas_score_step(mesh: Mesh, chunk: int, lanes: int,
             lr = jnp.clip(-(-exact // chunk) - 1, 0, lanes - 1)
             final_d = rem <= stride
             tpad = jnp.concatenate([sl, jnp.zeros(p2 - total, sl.dtype)])
+            def _remap(m):
+                if not remap:
+                    return m
+                # superset match idx -> candidate-local rank; no-match (0)
+                # stays 0 (alive-masked tables never match dead indices)
+                idx = (m >> 6).astype(jnp.int32)
+                r = jnp.take(rank, idx, mode="clip").astype(jnp.uint32)
+                return jnp.where(m == 0, m, (r << 6) | (m & 63))
+
             if has_delete:
                 m_tab, mb_tab = match_fn(tpad, n_slice, tabs=tabs,
                                          space_empty=se)
-                ctl, tok = decide_fn(m_tab, mb_tab, tpad, n_slice,
-                                     planes, bb)
+                ctl, tok = decide_fn(_remap(m_tab), _remap(mb_tab), tpad,
+                                     n_slice, planes, bb)
             else:
                 m_tab = match_fn(tpad, n_slice, tabs=tabs, space_empty=se)
-                ctl, tok = decide_fn(m_tab, tpad, n_slice, planes, bb)
+                ctl, tok = decide_fn(_remap(m_tab), tpad, n_slice,
+                                     planes, bb)
             if use_pf:
                 ctlw = build_lane_windows(ctl | (tok << 10), chunk, lanes,
                                           OVERLAP_SCAN)
@@ -347,7 +366,7 @@ def make_pallas_score_step(mesh: Mesh, chunk: int, lanes: int,
             start0 = nxt
         return scores, n_tok, miss_mask, ok
 
-    def step(text, n, se, del_tok, tabs, planes, bb, ids3f):
+    def step(text, n, se, del_tok, tabs, planes, bb, ids3f, rank):
         # text: (1, batch, B) per device — ``batch`` strips scored in ONE
         # device call (tiny training strips are round-trip-bound on a
         # tunneled chip otherwise); empty rows (n == 0) contribute nothing
@@ -358,7 +377,7 @@ def make_pallas_score_step(mesh: Mesh, chunk: int, lanes: int,
         for b in range(batch):
             s_b, t_b, m_b, ok_b = one_strip(text[0, b], n[0, b], se,
                                             del_tok, tabs, planes, bb,
-                                            ids3f)
+                                            ids3f, rank)
             empty = n[0, b] <= 0
             scores = scores + jnp.where(empty, 0, s_b)
             n_tok = n_tok + jnp.where(empty, 0, t_b)
@@ -375,7 +394,7 @@ def make_pallas_score_step(mesh: Mesh, chunk: int, lanes: int,
     sharded = jax.shard_map(
         step, mesh=mesh,
         in_specs=(P(axis, None, None), P(axis, None), rep, rep, rep, rep,
-                  rep, rep),
+                  rep, rep, rep),
         out_specs=(rep, rep, rep, rep),
         check_vma=False)
     return jax.jit(sharded)

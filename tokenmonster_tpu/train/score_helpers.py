@@ -17,9 +17,12 @@ import numpy as np
 
 
 def candidate_runtime_state(pal: dict, cand):
-    """(tabs_args, space_empty, planes, bb, ids3f, delete_token) for the
-    candidate, or None when the candidate is incompatible with the
-    prepared superset (unknown token / delete-config mismatch)."""
+    """(tabs_args, space_empty, planes, bb, ids3f, delete_token, rank)
+    for the candidate, or None when the candidate is incompatible with
+    the prepared superset (unknown token / delete-config mismatch).
+    ``rank`` is None except in the big-superset remap mode (pal["remap"]),
+    where it maps superset indices to candidate-local ranks and the
+    planes/ids are candidate-sized (pow2-row buckets)."""
     import jax.numpy as jnp
 
     from ..ops.pallas_decide import build_meta_planes
@@ -52,9 +55,34 @@ def candidate_runtime_state(pal: dict, cand):
     if not np.all(np.diff(pos) > 0):
         return None
 
-    # candidate metadata at superset positions
     planes_c, bb_c = build_meta_planes(cand)
     n_planes = planes_c.shape[0]
+    if pal.get("remap"):
+        # big-superset mode: the decide kernel runs on CANDIDATE-sized
+        # meta planes (matched indices remap to alive-ranks on device);
+        # rows bucket to powers of two so jitted step shapes are stable
+        nc = len(cand.tokens)
+        rows = 8
+        while rows * 128 < nc:
+            rows <<= 1
+        planes_cap = np.zeros((n_planes, rows, 128), planes_c.dtype)
+        planes_cap.reshape(n_planes, -1)[:, :nc] =             planes_c.reshape(n_planes, -1)[:, :nc]
+        ids3 = np.zeros((rows * 128, 3), np.uint32)
+        ids3[:nc, 0] = cand.id
+        ids3[:nc, 1] = cand.id1
+        ids3[:nc, 2] = cand.id2
+        # alive-rank per superset index (candidate dict order == alive
+        # order, checked above)
+        rank = np.cumsum(alive).astype(np.int32) - 1
+        rank[~alive] = 0
+        tabs_args = flat_tables(pal["tabs"], alive)
+        se = smem_scalars(pal["tabs"], alive)
+        del_tok = int(cand.delete_token) & 0xFFFFFF
+        return (tabs_args, se, jnp.asarray(planes_cap), jnp.asarray(bb_c),
+                jnp.asarray(ids3.reshape(-1)), del_tok,
+                jnp.asarray(rank))
+
+    # candidate metadata at superset positions
     Rs = max(8, -(-n_sup // 128 // 8) * 8)
     planes_sup = np.zeros((n_planes, Rs, 128), planes_c.dtype)
     flat = planes_sup.reshape(n_planes, Rs * 128)
@@ -72,4 +100,4 @@ def candidate_runtime_state(pal: dict, cand):
     del_tok = int(cand.delete_token) & 0xFFFFFF
     return (tabs_args, se,
             jnp.asarray(planes_sup), jnp.asarray(bb_c),
-            jnp.asarray(ids3f), del_tok)
+            jnp.asarray(ids3f), del_tok, None)

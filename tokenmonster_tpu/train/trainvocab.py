@@ -153,30 +153,33 @@ class CandidateScorer:
             tabs = build_hashmatch(v_sup.tokens, space_prefix=space_prefix)
             # VMEM budget: oversized hash planes PARTITION across multiple
             # match pallas_calls (pallas_match VMEM_TABLE_CAP), so match
-            # tables no longer gate the pool; the decide kernel's meta
-            # planes must still fit one call next to the match tables
-            # (~16 MB/core on v5e) — that caps the superset near 1M tokens.
-            cap = int(os.environ.get("TM_TRAINER_META_CAP_MB", "8")) << 20
+            # tables never gate the pool.
+            # The decide kernel's halving meta fetch register-spills past
+            # a few thousand plane rows (measured 166 MB scoped VMEM at a
+            # 1.2M-token superset): bigger supersets switch to REMAP mode —
+            # matched indices map to candidate-local ranks on device and
+            # the decide kernel runs on candidate-sized planes (match
+            # tables stay superset-sized, masked + partitioned).
+            cap = int(os.environ.get("TM_TRAINER_META_CAP_MB", "4")) << 20
             meta_bytes = 2 * max(8, -(-n_sup // 128 // 8) * 8) * 128 * 4
-            if meta_bytes > cap:
-                log.info("pallas trainer fast path: pool too big for VMEM "
-                         "(%d tokens, tables %.1f MB, meta %.1f MB)",
-                         n_sup, tabs.device_nbytes() / 2**20,
-                         meta_bytes / 2**20)
-                return False
+            remap = meta_bytes > cap
             interp = jax.default_backend() == "cpu"
             self._pal = {
                 "v_sup": v_sup,
                 "tabs": tabs,
                 "has_delete": has_delete,
+                "remap": remap,
                 "sup_index": {bytes(t): i
                               for i, t in enumerate(v_sup.tokens)},
                 "match_fn": make_match_kernel(tabs, interpret=interp),
-                "decide_fn": make_decide_kernel(v_sup, interpret=interp),
+                "decide_fn": (None if remap
+                              else make_decide_kernel(v_sup,
+                                                      interpret=interp)),
+                "decide_fns": {},
                 "steps": {},
             }
             log.info("pallas trainer fast path armed: superset %d tokens, "
-                     "delete=%s", n_sup, has_delete)
+                     "delete=%s, remap=%s", n_sup, has_delete, remap)
             return True
         except Exception:
             log.warning("pallas trainer fast path unavailable; using the "
@@ -200,7 +203,21 @@ class CandidateScorer:
         state = candidate_runtime_state(pal, cand)
         if state is None:
             return None      # incompatible candidate: caller falls back
-        tabs_args, se, planes, bb, ids3f, del_tok = state
+        tabs_args, se, planes, bb, ids3f, del_tok, rank = state
+        remap = pal.get("remap", False)
+        decide_fn = pal["decide_fn"]
+        if remap:
+            # decide kernel per candidate-rows bucket (pow2, few buckets)
+            from ..ops.pallas_decide import make_decide_kernel
+            bucket = int(planes.shape[1])
+            with self._step_lock:
+                decide_fn = pal["decide_fns"].get(bucket)
+                if decide_fn is None:
+                    decide_fn = make_decide_kernel(
+                        pal["v_sup"],
+                        interpret=jax.default_backend() == "cpu",
+                        meta_rows=bucket)
+                    pal["decide_fns"][bucket] = decide_fn
 
         devices = np.array(jax.devices())
         mesh = Mesh(devices, ("data",))
@@ -214,20 +231,23 @@ class CandidateScorer:
         # small training strips are per-call round-trip-bound on a tunneled
         # chip: score a fixed batch of strips per device per call
         batch = 16 if len(datasets) > n_dev else 1
-        key = (chunk, lanes, dispatches, n_ids_cap, len(devices), batch)
+        key = (chunk, lanes, dispatches, n_ids_cap, len(devices), batch,
+               remap and int(planes.shape[1]))
         with self._step_lock:
             step = pal["steps"].get(key)
             if step is None:
                 step = make_pallas_score_step(
                     mesh, chunk, lanes, dispatches, n_ids_cap,
-                    pal["has_delete"], pal["match_fn"], pal["decide_fn"],
-                    batch=batch)
+                    pal["has_delete"], pal["match_fn"], decide_fn,
+                    batch=batch, remap=remap)
                 pal["steps"][key] = step
                 self.tpu_compiles += 1
         rep = NamedSharding(mesh, P())
         put = lambda t: jax.device_put(t, rep)  # noqa: E731
         tabs_dev = tuple(put(t) for t in tabs_args)
         planes_dev, bb_dev, ids3f_dev = put(planes), put(bb), put(ids3f)
+        rank_dev = put(rank if rank is not None
+                       else jnp.zeros(1, jnp.int32))
         total_tokens = 0
         miss_mask = np.zeros(256, np.int64)
         per_call = n_dev * batch
@@ -245,7 +265,7 @@ class CandidateScorer:
                 jax.device_put(jnp.asarray(ns),
                                NamedSharding(mesh, P("data", None))),
                 jnp.asarray(se), jnp.int32(del_tok),
-                tabs_dev, planes_dev, bb_dev, ids3f_dev)
+                tabs_dev, planes_dev, bb_dev, ids3f_dev, rank_dev)
             if not bool(sync_ok):
                 from .. import native
                 nv = native.NativeVocab(cand)
