@@ -38,10 +38,18 @@ def _build(n: int, width: int):
                  | padded[4 * j + 2:4 * j + 2 + n].astype(jnp.uint32) << 8
                  | padded[4 * j + 3:4 * j + 3 + n].astype(jnp.uint32))
             words.append(w)
-        iota = jnp.arange(n, dtype=jnp.uint32)
-        sorted_ops = jax.lax.sort([*words, iota], num_keys=w32)
-        order = sorted_ops[-1]
-        sw = sorted_ops[:-1]
+        # LSD radix over the words with STABLE single-key sorts: the
+        # variadic lexicographic sort takes XLA's comparator path and its
+        # compile explodes at tens of millions of rows (measured: killed
+        # at 30 min for 21M x 11 operands).  Each pass is a stable
+        # sort_key_val carrying the running permutation — stability is
+        # exactly what LSD radix needs for lexicographic order.
+        order = jnp.arange(n, dtype=jnp.uint32)
+        for j in range(w32 - 1, -1, -1):
+            wj = jnp.take(words[j], order.astype(jnp.int32))
+            _, order = jax.lax.sort([wj, order], num_keys=1,
+                                    is_stable=True)
+        sw = [jnp.take(w, order.astype(jnp.int32)) for w in words]
         # first differing byte between adjacent sorted windows
         fw = jnp.full(n - 1, w32, jnp.int32)        # first differing word
         xw = jnp.zeros(n - 1, jnp.uint32)
