@@ -251,7 +251,21 @@ def _tpu_child():
         # second id stream over real corpus bytes when one is available
         rt_path = os.path.join(_HERE, ".tmp", "real_corpus.bin")
         if not os.path.exists(rt_path):
-            rt_path = os.path.join(_HERE, ".tmp", "corpus_r5_train.bin")
+            alt = os.path.join(_HERE, ".tmp", "corpus_r5_train.bin")
+            if os.path.exists(alt):
+                rt_path = alt
+            else:
+                # scratch got wiped: regenerate deterministically from
+                # on-rig sources (tools/measure/build_real_corpus.py)
+                try:
+                    subprocess.run(
+                        [sys.executable,
+                         os.path.join(_HERE, "tools", "measure",
+                                      "build_real_corpus.py")],
+                        check=True, timeout=120,
+                        stdout=subprocess.DEVNULL)
+                except Exception:
+                    pass
         if os.path.exists(rt_path) and left() > 45:
             with open(rt_path, "rb") as f:
                 real = f.read(CORPUS_MB * MB)
