@@ -54,8 +54,12 @@ def test_nocapcode_encode_native_parity():
 
 def test_real_corpus_slice_parity():
     import os
-    path = "/root/repo/.tmp/corpus_r5_train.bin"
-    if not os.path.exists(path):
-        pytest.skip("no corpus")
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ("corpus_r5_train.bin", "real_corpus.bin"):
+        path = os.path.join(here, ".tmp", name)
+        if os.path.exists(path):
+            break
+    else:
+        pytest.skip("no corpus (tools/measure/build_real_corpus.py)")
     data = open(path, "rb").read(1 << 20)
     assert cc.encode(data) == _python_encode(data)
