@@ -98,3 +98,37 @@ def test_train_end_to_end(tmp_path):
     v2 = Vocab.load(vocab_path)
     ids2, _ = v2.tokenize(corpus)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))
+
+
+def test_output_tokens_roundtrip(tmp_path):
+    """exportvocab -output-tokens: vocabulary -> trainvocab-usable .tok
+    (exportvocab.go:364-384) whose reload carries the same token set,
+    scores for every entry, specials, and the vocab's header bytes."""
+    from tokenmonster_tpu.core.vocab import Vocab
+    from tokenmonster_tpu.train.exportvocab import save_vocab_as_tokens
+    from tokenmonster_tpu.train.getalltokens import load_tokens_file
+
+    v = Vocab()
+    v._generate(
+        tokens=[b" the", b"the", b" quick", b"fox", b"jumps", b"ing",
+                b"er", b" hello", b"world", b"s ", b"\n"],
+        special_tokens=[b"<eos>"],
+        charset=1, normalize_string="none", using_capcode=2,
+        level=3, reset_token_ids=True)
+    path = tmp_path / "back.tok"
+    n = save_vocab_as_tokens(v, path)
+    d = load_tokens_file(path)
+    assert len(d["tokens"]) == n
+    got = set(d["tokens"])
+    want = {i["token"] for i in v.tokens_detailed() if i["token"]}
+    assert got == want
+    assert d["scores"] is not None and len(d["scores"]) == n
+    # specials round-trip in their stored (normalized+capcoded) form —
+    # the reference writes TokensDetailed token bytes verbatim and
+    # re-imports them as encoded specials
+    assert d["specials"] == [i["token"] for i in v.tokens_detailed()
+                             if i["type"] == 2]
+    assert len(d["specials"]) == 1
+    assert (d["using_capcode"], d["charset"], d["norm_flag"], d["level"],
+            d["reserve"]) == (v.using_capcode, v.charset,
+                              v.normalizer.flag, v.level, v.reserve)

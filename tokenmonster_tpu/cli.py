@@ -124,6 +124,8 @@ def _cmd_exportvocab(argv):
     p.add_argument("-unk", default=None)
     p.add_argument("-reset-token-ids", action="store_true")
     p.add_argument("-order-by-score", action="store_true")
+    p.add_argument("-output-tokens", default=None, dest="output_tokens")
+    p.add_argument("-exists", default=None)
     a = p.parse_args(argv)
     from .train.exportvocab import export_vocab
     unk = None
@@ -135,8 +137,29 @@ def _cmd_exportvocab(argv):
         add_special_tokens=a.add_special_token,
         add_single_bytes=a.add_single_bytes,
         exclude_other_bytes=a.exclude_other_bytes, unk=unk,
-        reset_token_ids=a.reset_token_ids, order_by_score=a.order_by_score)
+        reset_token_ids=a.reset_token_ids, order_by_score=a.order_by_score,
+        output_tokens=a.output_tokens)
     print(f"Vocabulary size: {len(v)}")
+    if a.exists is not None:
+        # token-existence probe: raw form, then the normalized form if it
+        # differs (exportvocab.go:397-416)
+        print(f"Looking for token: '{a.exists}'")
+        raw = a.exists.encode()
+        from .core.vocab import normalize_safe
+        norm = normalize_safe(raw, v.using_capcode, v.normalizer)
+        found_any = False
+        seen = None
+        for tok in (raw, norm):
+            tid, found = v.token_to_id(tok)
+            if found and tid != seen:
+                seen = tid
+                found_any = True
+                print(f"\tID: {tid}")
+                print(f"\t\tEncoded: '{tok.decode('utf-8', 'replace')}'")
+                dec = v.denormalize(tok).decode("utf-8", "replace")
+                print(f"\t\tDecoded: '{dec}'")
+        if not found_any:
+            print("\tNo tokens found")
 
 
 def _cmd_mergetokens(argv):

@@ -44,9 +44,12 @@ def export_vocab(input_path=None, input_yaml=None, input_vocab=None,
                  add_special_tokens=(), add_single_bytes=(),
                  exclude_other_bytes: bool = False, unk: bool | None = None,
                  reset_token_ids: bool = False,
-                 order_by_score: bool = False) -> Vocab:
+                 order_by_score: bool = False,
+                 output_tokens=None) -> Vocab:
     """Build and optionally save a vocabulary.  ``add_single_bytes`` accepts
-    any of: "256", "128", "ascii", "utf8", "extended"."""
+    any of: "256", "128", "ascii", "utf8", "extended".  ``output_tokens``
+    converts the vocabulary back to a trainvocab-compatible ``.tok`` file
+    (exportvocab.go:364-384)."""
     if not (input_path or input_yaml or input_vocab):
         raise ValueError("an input is required")
 
@@ -107,7 +110,32 @@ def export_vocab(input_path=None, input_yaml=None, input_vocab=None,
 
     if output:
         vocab.save(output)
+    if output_tokens:
+        save_vocab_as_tokens(vocab, output_tokens)
     if output_yaml:
         with open(output_yaml, "wb") as f:
             f.write(vocab.export_yaml(order_by_score))
     return vocab
+
+
+def save_vocab_as_tokens(vocab: Vocab, path) -> int:
+    """Convert a vocabulary back to a trainvocab-usable ``.tok`` file
+    (exportvocab.go:364-384: TokensDetailed tokens + scores, type-2 entries
+    doubled into the specials list, vocab header bytes).  The UNK
+    pseudo-entry (empty token) is not a trainable candidate and is skipped.
+    Returns the number of tokens written."""
+    from .getalltokens import save_tokens_with_scores
+    infos = [i for i in vocab.tokens_detailed() if i["token"]]
+    header = {
+        "using_capcode": vocab.using_capcode,
+        "charset": vocab.charset,
+        "norm_flag": vocab.normalizer.flag,
+        "level": vocab.level,
+        "reserve": vocab.reserve,
+    }
+    save_tokens_with_scores(
+        path, header,
+        [i["token"] for i in infos],
+        [i["score"] for i in infos],
+        [i["token"] for i in infos if i["type"] == 2])
+    return len(infos)
