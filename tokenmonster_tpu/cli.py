@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 
@@ -67,6 +68,7 @@ def _cmd_trainvocab(argv):
     p.add_argument("-vocab-size", type=int, required=True, dest="vocab_size")
     p.add_argument("-dataset", required=True)
     p.add_argument("-dictionary", required=True)
+    p.add_argument("-dictionary2", default=None)
     p.add_argument("-dir", required=True)
     p.add_argument("-workers", type=int, default=2)
     p.add_argument("-percentage", type=int, default=15)
@@ -106,7 +108,16 @@ def _cmd_trainvocab(argv):
         special_tokens=specials, max_rounds=a.max_rounds)
     with open(a.dataset, "rb") as f:
         dataset = f.read()
-    best = train_vocab(dataset, a.dictionary, a.dir, cfg)
+    dictionary = a.dictionary
+    if a.dictionary2:
+        # set-union of the two candidate dictionaries before training,
+        # header from the first (trainvocab.go dictionary2 merge)
+        from .train.tools import merge_tokens
+        os.makedirs(a.dir, exist_ok=True)
+        dictionary = os.path.join(a.dir, "merged_dictionary.tok")
+        n = merge_tokens([a.dictionary, a.dictionary2], dictionary)
+        print(f"Merged dictionaries: {n} tokens")
+    best = train_vocab(dataset, dictionary, a.dir, cfg)
     print(f"Best: {best}")
 
 
