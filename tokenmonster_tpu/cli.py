@@ -34,6 +34,11 @@ def _cmd_getalltokens(argv):
     p.add_argument("-only-latin", action="store_true")
     p.add_argument("-only-valid", action="store_true")
     p.add_argument("-words-per-token", type=int, default=0)
+    p.add_argument("-workers", type=int, default=0,
+                   help="accepted for reference CLI compatibility "
+                        "(getalltokens.go -workers); counting here is "
+                        "vectorised numpy + the native counter, which "
+                        "parallelise internally")
     p.add_argument("-prefilter-min-raw", type=int, default=1,
                    help="drop raw substrings seen fewer than N times before "
                         "the mode filters (default 1 = reference-exact "
