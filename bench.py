@@ -213,11 +213,14 @@ def _tpu_child():
             outs = tk._run_staged(staged)
         _ = [int(o[1]) for o in outs]
         reps = 10
-        t0 = time.time()
-        for _ in range(reps):
-            outs = tk._run_staged(staged)
-        _ = [int(o[1]) for o in outs]  # stream-ordered: bounds completion
-        dt = (time.time() - t0) / reps
+        dt = None
+        for _loop in range(2):   # best-of-2 sustained loops (the native
+            t0 = time.time()     # side is best-of-N for the same reason:
+            for _ in range(reps):  # tunnel/ambient run-to-run variance)
+                outs = tk._run_staged(staged)
+            _ = [int(o[1]) for o in outs]  # stream-ordered: bounds completion
+            d = (time.time() - t0) / reps
+            dt = d if dt is None else min(dt, d)
         out["tpu_device_bps"] = round(len(corpus) / dt)
         mark("t_device_bench_ms")
 
@@ -238,11 +241,14 @@ def _tpu_child():
             outs_c = tkc._run_staged(staged_c)   # steady-state entry
             _ = [int(o[1]) for o in outs_c]
             reps = 6
-            t0 = time.time()
-            for _ in range(reps):
-                outs_c = tkc._run_staged(staged_c)
-            _ = [int(o[1]) for o in outs_c]
-            dt = (time.time() - t0) / reps
+            dt = None
+            for _loop in range(2):
+                t0 = time.time()
+                for _ in range(reps):
+                    outs_c = tkc._run_staged(staged_c)
+                _ = [int(o[1]) for o in outs_c]
+                d = (time.time() - t0) / reps
+                dt = d if dt is None else min(dt, d)
             out["tpu_device_bps_capcode"] = round(len(data_cc) / dt)
             mark("t_cc_bench_ms")
 
@@ -285,11 +291,14 @@ def _tpu_child():
                 outs_r = tk._run_staged(staged_r, full=use_full)
                 _ = [int(o[1]) for o in outs_r]
                 reps = 6
-                t0 = time.time()
-                for _ in range(reps):
-                    outs_r = tk._run_staged(staged_r, full=use_full)
-                _ = [int(o[1]) for o in outs_r]
-                dt = (time.time() - t0) / reps
+                dt = None
+                for _loop in range(2):
+                    t0 = time.time()
+                    for _ in range(reps):
+                        outs_r = tk._run_staged(staged_r, full=use_full)
+                    _ = [int(o[1]) for o in outs_r]
+                    d = (time.time() - t0) / reps
+                    dt = d if dt is None else min(dt, d)
                 out["tpu_device_bps_realtext"] = round(len(real) / dt)
                 mark("t_rt_bench_ms")
     except Exception as e:  # pragma: no cover
